@@ -1,0 +1,274 @@
+"""Benchmark drivers — the TPU counterparts of the reference's two entries.
+
+* ``showcase_cases`` / ``run_showcase`` — the main.cpp TCSC showcase: fixed
+  {M,K,N} list, 50% sparsity, validate-then-measure every kernel variant,
+  ASCII table + speedup analysis (/root/reference/main.cpp:252-456).
+* ``sweep_grid`` / ``run_sweep`` — the SparseGEMM.cpp size×sparsity sweep:
+  M×K×N×non_zero grid, CSV output (/root/reference/SparseGEMM.cpp:67-203 and
+  parse-out2csv.sh).
+
+Both enforce the reference's validate-before-measure invariant (SURVEY.md §4):
+any kernel that fails dense-oracle parity is reported and excluded from
+timing. Use ``python -m smmb_tpu.bench.sweep {showcase,sweep}`` as the CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smmb_tpu.bench.flops import dense_flops, sparse_flops, spmm_bytes
+from smmb_tpu.bench.measure import Measurement, measure_device
+from smmb_tpu.bench.report import (
+    results_table,
+    speedup_analysis,
+    to_csv,
+)
+from smmb_tpu.bench.roofline import chip_spec, roofline_time_s
+from smmb_tpu.formats.bcsr import bcsr_from_dense
+from smmb_tpu.formats.packed import TernaryPacked, pack_ternary
+from smmb_tpu.formats.tcsc import tcsc_from_dense
+from smmb_tpu.kernels.packed_spmm import packed_spmm
+from smmb_tpu.ops import (
+    bcsr_spmm,
+    gemm,
+    gemm_prelu,
+    packed_spmm_jnp,
+    tcsc_spmm,
+    tcsc_spmm_prelu,
+)
+from smmb_tpu.utils import rng
+from smmb_tpu.utils.compare import TOL_DENSE, compare
+
+ALPHA = 0.2  # /root/reference/main.cpp:268
+
+# /root/reference/main.cpp:258-264 test-case list (M, K, N), 50% sparsity
+SHOWCASE_CASES = [
+    (1, 512, 2048),
+    (1, 1024, 4096),
+    (16, 512, 2048),
+    (64, 1024, 4096),
+    (256, 1024, 4096),
+]
+
+# /root/reference/SparseGEMM.cpp:74-80 sweep grids
+SWEEP_M = [1, 16, 64]
+SWEEP_K = [256, 512, 1024]
+SWEEP_N = [512, 1024, 2048]
+SWEEP_NON_ZERO = [2, 8, 16]
+
+
+@dataclasses.dataclass
+class CaseResult:
+    case: str
+    kernel: str
+    valid: bool
+    max_err: float
+    mean_s: float
+    flops: int
+    eff_flops_per_s: float
+    nnz_per_s: float
+    frac_roofline: float
+
+
+def _kernels_for_case(x, w_np, b, use_pallas: bool):
+    """(name, fn, args, work_flops) kernel registry for one case."""
+    w = jnp.asarray(w_np)
+    t = tcsc_from_dense(w_np)
+    p = pack_ternary(w_np)
+    m, k = x.shape
+    n = w_np.shape[1]
+    nnz = t.nnz
+    dense_f = dense_flops(m, n, k)
+    sparse_f = sparse_flops(m, n, nnz)
+
+    kernels = [
+        ("dense", jax.jit(lambda x, w, b: gemm(x, w, b)), (x, w, b), dense_f),
+        (
+            "dense_prelu",
+            jax.jit(lambda x, w, b: gemm_prelu(x, w, b, ALPHA)),
+            (x, w, b),
+            dense_f + m * n,
+        ),
+        (
+            "tcsc_segsum",
+            jax.jit(lambda x, t, b: tcsc_spmm(x, t, b)),
+            (x, t, b),
+            sparse_f,
+        ),
+        (
+            "tcsc_segsum_prelu",
+            jax.jit(lambda x, t, b: tcsc_spmm_prelu(x, t, b, ALPHA)),
+            (x, t, b),
+            sparse_f + m * n,
+        ),
+        (
+            "packed_jnp",
+            jax.jit(lambda x, p, b: packed_spmm_jnp(x, p, b)),
+            (x, p, b),
+            sparse_f,
+        ),
+    ]
+    if use_pallas:
+        kernels += [
+            (
+                "packed_kernel",
+                lambda x, p, b: packed_spmm(x, p, b),
+                (x, p, b),
+                sparse_f,
+            ),
+            (
+                "packed_kernel_prelu",
+                lambda x, p, b: packed_spmm(x, p, b, alpha=ALPHA),
+                (x, p, b),
+                sparse_f + m * n,
+            ),
+            (
+                "packed_kernel_bf16",
+                lambda x, p, b: packed_spmm(
+                    x, p, b, compute_dtype=jnp.bfloat16
+                ),
+                (x, p, b),
+                sparse_f,
+            ),
+        ]
+    if m % 8 == 0 or m == 1:  # BCSR needs divisible blocks
+        if k % 8 == 0 and n % 8 == 0:
+            bm = bcsr_from_dense(w_np, 8, 8)
+            kernels.append(
+                (
+                    "bcsr",
+                    jax.jit(lambda x, bm, b: bcsr_spmm(x, bm, b)),
+                    (x, bm, b),
+                    sparse_f,
+                )
+            )
+    return kernels, nnz, p
+
+
+def run_case(
+    m: int,
+    k: int,
+    n: int,
+    non_zero: int,
+    *,
+    seed: int = 0,
+    iters: int = 20,
+    reps: int = 5,
+    validate: bool = True,
+    use_pallas: bool | None = None,
+) -> list[CaseResult]:
+    """Validate-then-measure all kernel variants on one configuration."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(seed), 3)
+    x = rng.rand_dense(kx, (m, k))
+    w_np = np.asarray(rng.rand_ternary(kw, (k, n), non_zero=non_zero))
+    b = rng.rand_dense(kb, (n,))
+    kernels, nnz, p = _kernels_for_case(x, w_np, b, use_pallas)
+
+    ref = np.asarray(gemm(x, jnp.asarray(w_np), b))
+    ref_prelu = np.asarray(gemm_prelu(x, jnp.asarray(w_np), b, ALPHA))
+    spec = chip_spec()
+    case = f"{m}x{k}x{n}@{1 / non_zero:.2f}"
+
+    out = []
+    for name, fn, args, work in kernels:
+        oracle = ref_prelu if "prelu" in name else ref
+        y = np.asarray(fn(*args))
+        tol = TOL_DENSE if "bf16" not in name else 0.2
+        cmp = compare(y, oracle, tol)
+        if validate and not cmp.ok:
+            out.append(
+                CaseResult(case, name, False, cmp.max_abs_err, float("nan"),
+                           work, 0.0, 0.0, 0.0)
+            )
+            continue
+        meas = measure_device(fn, *args, iters=iters, reps=reps)
+        wb = (
+            p.weight_bytes()
+            if name.startswith(("packed", "tcsc"))
+            else 4 * k * n
+        )
+        byt = spmm_bytes(m, n, k, weight_bytes=wb)
+        mm_flops = 2.0 * m * n * k  # what the MXU actually executes
+        sol = roofline_time_s(
+            mm_flops,
+            byt,
+            spec,
+            dtype="bf16" if "bf16" in name else "fp32",
+        )
+        out.append(
+            CaseResult(
+                case,
+                name,
+                True,
+                cmp.max_abs_err,
+                meas.mean_s,
+                work,
+                work / meas.mean_s,
+                nnz * m / meas.mean_s,
+                sol / meas.mean_s,
+            )
+        )
+    return out
+
+
+def run_showcase(**kw) -> list[CaseResult]:
+    """The main.cpp showcase: fixed case list at 50% density."""
+    results = []
+    for m, k, n in SHOWCASE_CASES:
+        results += run_case(m, k, n, non_zero=2, **kw)
+    return results
+
+
+def run_sweep(
+    ms=None, ks=None, ns=None, non_zeros=None, **kw
+) -> list[CaseResult]:
+    """The SparseGEMM.cpp size × sparsity sweep grid."""
+    results = []
+    for nz, m, k, n in itertools.product(
+        non_zeros or SWEEP_NON_ZERO, ms or SWEEP_M, ks or SWEEP_K, ns or SWEEP_N
+    ):
+        results += run_case(m, k, n, non_zero=nz, **kw)
+    return results
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["showcase", "sweep"], nargs="?",
+                    default="showcase")
+    ap.add_argument("--csv", default=None, help="write results CSV here")
+    ap.add_argument("--plot", default=None, help="write performance.png here")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    run = run_showcase if args.mode == "showcase" else run_sweep
+    results = run(iters=args.iters, reps=args.reps)
+    rows = [dataclasses.asdict(r) for r in results]
+    print(results_table(rows, [
+        "case", "kernel", "valid", "max_err", "mean_s",
+        "eff_flops_per_s", "nnz_per_s", "frac_roofline",
+    ]))
+    for case in {r.case for r in results}:
+        sub = [dataclasses.asdict(r) for r in results if r.case == case]
+        print(f"\n[{case}] " + speedup_analysis(sub))
+    if args.csv:
+        to_csv(rows, args.csv)
+        print(f"\nwrote {args.csv}")
+    if args.plot:
+        from smmb_tpu.bench.report import plot_performance
+
+        out = plot_performance(rows, args.plot)
+        print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

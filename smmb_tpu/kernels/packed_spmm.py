@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: 2-bit packed ternary SpMM with fused bias + PReLU.
+
+This is the framework's hot path — the TPU-native replacement for every
+reference compute kernel (/root/reference/sparse/tcsc.c:69-275 and the AVX
+BCSR kernels, /root/reference/sparse/bcsr.c:222-385). Design (SURVEY.md §7
+step 3, re-thought for the MXU):
+
+* The reference removes multiplications from a scalar inner loop; on TPU the
+  multiplier array is free and the binding resource is HBM bandwidth. So the
+  kernel streams the 2-bit ``TernaryPacked`` weight planes (16× smaller than
+  the fp32 weights the reference reads), decodes each K-tile in VMEM with
+  four shift/sign-extend passes + a sublane concat (see
+  smmb_tpu/formats/packed.py for the group-strided layout that makes the
+  decode gather-free), and feeds the MXU.
+* Grid is (M-tiles, N-tiles, K-tiles) with K innermost; partial products
+  accumulate in an f32 VMEM scratch, bias is the accumulator seed, and the
+  PReLU epilogue runs on the last K step — the reference's "on-the-go"
+  variant (/root/reference/sparse/tcsc.c:231-275) is literally free here.
+* Pipelining (double-buffered HBM→VMEM tile DMA) comes from the pallas_call
+  grid machinery; no hand-rolled DMA needed at this block granularity.
+
+Parity contract: identical math to ``smmb_tpu.ops.packed_spmm_jnp`` (same
+decode helper, same accumulation dtype), validated in tests/test_kernels.py
+against the dense oracle within the reference tolerance (1e-4, fp32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smmb_tpu.formats.packed import (
+    GROUP_ROWS,
+    SUB,
+    VALUES_PER_BYTE,
+    TernaryPacked,
+)
+from smmb_tpu.kernels._compat import use_interpret
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _decode_tile(wp: jax.Array, dtype) -> jax.Array:
+    """(G*SUB, BN) packed int8 tile → (G*GROUP_ROWS, BN) ternary in ``dtype``.
+
+    Same math as formats.packed.decode_words, written block-wise: for each
+    512-row group, four sign-extend passes concatenated along sublanes give
+    logical rows in natural order.
+    """
+    prows, bn = wp.shape
+    g = prows // SUB
+    parts = []
+    for gi in range(g):
+        # int32 lane ops: Mosaic does not legalize int8 vector shifts
+        # (arith.shli on vector<..xi8>), so decode in 32-bit registers.
+        block = wp[gi * SUB : (gi + 1) * SUB, :].astype(jnp.int32)
+        for i in range(VALUES_PER_BYTE):
+            # bits 2i..2i+1, sign-extended: (w << (30-2i)) >> 30
+            parts.append(((block << (30 - 2 * i)) >> 30).astype(dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk, alpha, compute_dtype):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.broadcast_to(
+            b_ref[:].astype(jnp.float32), acc_ref.shape
+        )
+
+    wd = _decode_tile(w_ref[:], compute_dtype)  # (BK, BN)
+    # f32 mode needs HIGHEST precision: the MXU otherwise runs f32 matmuls
+    # as single-pass bf16, violating the reference's 1e-4 parity contract.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    acc_ref[:] += jnp.dot(
+        x_ref[:].astype(compute_dtype),
+        wd,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        r = acc_ref[:]
+        if alpha is not None:
+            r = jnp.where(r > 0, r, alpha * r)
+        o_ref[:] = r.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "alpha",
+        "compute_dtype",
+        "block_m",
+        "block_n",
+        "block_k",
+        "interpret",
+    ),
+)
+def packed_spmm(
+    x: jax.Array,
+    w: TernaryPacked,
+    b: jax.Array | None = None,
+    alpha: float | None = None,
+    *,
+    compute_dtype=jnp.float32,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = GROUP_ROWS,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """``Y = prelu(X @ W + B, alpha)`` with 2-bit packed ternary W.
+
+    Args:
+      x: (M, K) activations, float32 or bfloat16.
+      w: TernaryPacked weights with logical shape (K, N).
+      b: optional (N,) bias (accumulator seed, /root/reference/sparse/tcsc.c:106-110).
+      alpha: optional PReLU slope; None = no epilogue activation.
+      compute_dtype: MXU input dtype. float32 matches the reference's fp32
+        parity contract; bfloat16 doubles MXU throughput (W decodes exactly
+        either way — error comes only from casting X).
+      block_m/n/k: VMEM tile sizes. block_k must be a multiple of 512
+        (the packed group size).
+    Returns:
+      (M, N) in x.dtype.
+    """
+    if block_k % GROUP_ROWS:
+        raise ValueError(f"block_k={block_k} must be a multiple of {GROUP_ROWS}")
+    m, k = x.shape
+    kp, n = w.data.shape
+    kpad = kp * VALUES_PER_BYTE
+    if k != w.rows:
+        raise ValueError(f"x K dim {k} != weight rows {w.rows}")
+
+    out_dtype = x.dtype
+    bm = min(block_m, _round_up(m, 8))
+    bn = min(block_n, _round_up(n, 128))
+    bk = min(block_k, kpad)
+
+    mp = _round_up(m, bm)
+    npad = _round_up(n, bn)
+    kq = _round_up(kpad, bk)
+
+    xq = x
+    if mp != m or kq != k:
+        xq = jnp.pad(x, ((0, mp - m), (0, kq - k)))
+    wq = w.data
+    bq = jnp.zeros((1, npad), jnp.float32)
+    if b is not None:
+        bq = bq.at[0, :n].set(b.astype(jnp.float32))
+    if npad != n or kq != kpad:
+        wq = jnp.pad(wq, ((0, (kq - kpad) // VALUES_PER_BYTE), (0, npad - n)))
+
+    nm, nn, nk = mp // bm, npad // bn, kq // bk
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, nk=nk, alpha=alpha, compute_dtype=compute_dtype
+        ),
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, s: (i, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bk // VALUES_PER_BYTE, bn),
+                lambda i, j, s: (s, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, bn), lambda i, j, s: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, s: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, npad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * npad * kq,
+            bytes_accessed=mp * kq * x.dtype.itemsize
+            + kq * npad // VALUES_PER_BYTE
+            + mp * npad * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(interpret),
+    )(xq, wq, bq)
+    if mp != m or npad != n:
+        out = out[:m, :n]
+    return out

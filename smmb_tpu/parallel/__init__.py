@@ -1,0 +1,7 @@
+from smmb_tpu.parallel.mesh import make_mesh
+from smmb_tpu.parallel.sharded import (
+    shard_packed_columns,
+    shard_packed_rows,
+    sharded_spmm_column,
+    sharded_spmm_row,
+)

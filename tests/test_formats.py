@@ -1,0 +1,162 @@
+"""Format construction / round-trip tests.
+
+Covers the reference's structural tests (/root/reference/test/test.c — 4×4
+known-pattern BCSR; /root/reference/test/test_bcsr.cpp — random parity) with
+real assertions and seeded determinism, plus the all-zero-block-row edge case
+the reference's constructor gets wrong (SURVEY.md §2 item 12, §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smmb_tpu.formats.bcsr import (
+    BCSR,
+    bcsr_block_rows,
+    bcsr_from_dense,
+    bcsr_to_dense,
+)
+from smmb_tpu.formats.packed import (
+    TernaryPacked,
+    pack_ternary,
+    pack_ternary_device,
+    unpack_ternary,
+)
+from smmb_tpu.formats.tcsc import (
+    tcsc_from_dense,
+    tcsc_pad_columns,
+    tcsc_to_dense,
+)
+from smmb_tpu.utils import rng
+
+
+def _ternary(key, shape, non_zero=2):
+    return np.asarray(rng.rand_ternary(key, shape, non_zero=non_zero))
+
+
+# ---------------------------------------------------------------- TCSC
+
+
+def test_tcsc_roundtrip(key):
+    w = _ternary(key, (64, 48))
+    t = tcsc_from_dense(w)
+    np.testing.assert_array_equal(np.asarray(tcsc_to_dense(t)), w)
+    assert t.n_pos == int((w == 1.0).sum())
+    assert t.n_neg == int((w == -1.0).sum())
+
+
+def test_tcsc_known_pattern():
+    # column-major fill order contract (/root/reference/sparse/tcsc.c:48-63)
+    w = np.zeros((4, 3), np.float32)
+    w[0, 0] = 1.0
+    w[2, 0] = -1.0
+    w[1, 1] = 1.0
+    w[3, 1] = 1.0
+    t = tcsc_from_dense(w)
+    np.testing.assert_array_equal(np.asarray(t.col_start_pos), [0, 1, 3, 3])
+    np.testing.assert_array_equal(np.asarray(t.row_index_pos), [0, 1, 3])
+    np.testing.assert_array_equal(np.asarray(t.col_start_neg), [0, 1, 1, 1])
+    np.testing.assert_array_equal(np.asarray(t.row_index_neg), [2])
+
+
+def test_tcsc_ignores_non_unit_values():
+    # exact ±1.0 matches only (/root/reference/sparse/tcsc.c:54-57)
+    w = np.array([[0.5, -1.0], [1.0, 0.99]], np.float32)
+    t = tcsc_from_dense(w)
+    assert t.n_pos == 1 and t.n_neg == 1
+
+
+def test_tcsc_padded_sentinel(key):
+    w = _ternary(key, (32, 16))
+    t = tcsc_from_dense(w)
+    p = tcsc_pad_columns(t)
+    idx = np.asarray(p.idx_pos)
+    cnt = np.asarray(p.cnt_pos)
+    for j in range(16):
+        assert (idx[j, cnt[j] :] == 32).all()  # sentinel = rows
+        col = np.flatnonzero(w[:, j] == 1.0)
+        np.testing.assert_array_equal(idx[j, : cnt[j]], col)
+
+
+def test_tcsc_empty_matrix():
+    w = np.zeros((8, 8), np.float32)
+    t = tcsc_from_dense(w)
+    assert t.nnz == 0
+    np.testing.assert_array_equal(np.asarray(tcsc_to_dense(t)), w)
+    p = tcsc_pad_columns(t)
+    assert p.pad_pos >= 1  # degenerate pad stays ≥1 for static shapes
+
+
+# ---------------------------------------------------------------- BCSR
+
+
+def test_bcsr_known_pattern():
+    # 4×4 matrix, 2×2 blocks — the reference's structure test
+    # (/root/reference/test/test.c:5-29), with assertions added.
+    w = np.zeros((4, 4), np.float32)
+    w[0, 0] = 1.0  # block (0, 0)
+    w[3, 2] = -1.0  # block (1, 1)
+    m = bcsr_from_dense(w, 2, 2)
+    assert m.k == 2
+    np.testing.assert_array_equal(np.asarray(m.b_row_start), [0, 1, 2])
+    np.testing.assert_array_equal(np.asarray(m.b_col_idx), [0, 1])
+    np.testing.assert_array_equal(np.asarray(bcsr_block_rows(m)), [0, 1])
+
+
+def test_bcsr_roundtrip(key):
+    w = _ternary(key, (32, 64), non_zero=8)
+    m = bcsr_from_dense(w, 8, 8)
+    np.testing.assert_array_equal(np.asarray(bcsr_to_dense(m)), w)
+
+
+def test_bcsr_zero_block_row():
+    # The reference corrupts b_row_start when a block row is all zeros
+    # (/root/reference/sparse/bcsr.c:101-117). Ours must not.
+    w = np.zeros((12, 8), np.float32)
+    w[0, 0] = 1.0  # block row 0
+    # block row 1 (rows 4-7): entirely zero
+    w[9, 5] = -1.0  # block row 2
+    m = bcsr_from_dense(w, 4, 4)
+    assert m.k == 2
+    np.testing.assert_array_equal(np.asarray(m.b_row_start), [0, 1, 1, 2])
+    np.testing.assert_array_equal(np.asarray(bcsr_block_rows(m)), [0, 2])
+    np.testing.assert_array_equal(np.asarray(bcsr_to_dense(m)), w)
+
+
+def test_bcsr_shape_validation():
+    with pytest.raises(ValueError):
+        bcsr_from_dense(np.zeros((10, 8), np.float32), 4, 4)
+
+
+# ---------------------------------------------------------------- packed
+
+
+def test_packed_roundtrip(key):
+    w = _ternary(key, (100, 64))  # deliberately not a multiple of 128
+    p = pack_ternary(w)
+    assert p.data.dtype == jnp.int8
+    assert p.packed_rows % 32 == 0
+    np.testing.assert_array_equal(np.asarray(unpack_ternary(p)), w)
+    assert p.nnz == int(np.count_nonzero(w))
+
+
+def test_packed_device_matches_host(key):
+    w = _ternary(key, (256, 128))
+    ph = pack_ternary(w)
+    pd = pack_ternary_device(jnp.asarray(w))
+    np.testing.assert_array_equal(np.asarray(ph.data), np.asarray(pd.data))
+
+
+def test_packed_ignores_non_unit_values():
+    w = np.array([[0.5, -1.0], [1.0, 2.0]], np.float32)
+    p = pack_ternary(w)
+    dense = np.asarray(unpack_ternary(p))
+    np.testing.assert_array_equal(dense, [[0.0, -1.0], [1.0, 0.0]])
+
+
+def test_packed_unpack_jit(key):
+    w = _ternary(key, (128, 128))
+    p = pack_ternary(w)
+    out = jax.jit(unpack_ternary)(p)
+    np.testing.assert_array_equal(np.asarray(out), w)

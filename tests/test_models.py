@@ -1,0 +1,77 @@
+"""Model-layer tests: packed forward parity and STE training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smmb_tpu.models.mlp import (
+    TernaryMLPConfig,
+    init_mlp,
+    mlp_forward,
+    pack_mlp,
+)
+from smmb_tpu.models.train import (
+    absmean_scale,
+    make_train_step,
+    qat_forward,
+    ternarize_ste,
+)
+from smmb_tpu.ops import gemm_prelu
+from smmb_tpu.utils import rng
+from smmb_tpu.utils.compare import TOL_DENSE, assert_close
+
+
+def test_mlp_forward_matches_dense_oracle(key):
+    cfg = TernaryMLPConfig(layer_dims=(256, 512, 256))
+    params = init_mlp(key, cfg)
+    packed = pack_mlp(params)
+    x = rng.rand_dense(jax.random.PRNGKey(3), (8, 256))
+    y = mlp_forward(packed, x, cfg)
+    ref = x
+    for w, b in zip(params["w"], params["b"]):
+        ref = gemm_prelu(ref, w, b, cfg.alpha)
+    assert_close(y, ref, TOL_DENSE, "mlp vs per-layer oracle")
+
+
+def test_ternarize_ste_values():
+    w = jnp.array([[0.9, -0.05, -2.0], [0.2, 0.0, 0.4]])
+    t = ternarize_ste(w)
+    assert set(np.unique(np.asarray(t))) <= {-1.0, 0.0, 1.0}
+    # gradient passes straight through
+    g = jax.grad(lambda w: (ternarize_ste(w) * w).sum())(w)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_qat_forward_finite(key):
+    cfg = TernaryMLPConfig(layer_dims=(64, 128, 64))
+    params = init_mlp(key, cfg)
+    # master weights here are already ternary; perturb to fp32-ish values
+    params = {
+        "w": [w + 0.01 for w in params["w"]],
+        "b": params["b"],
+    }
+    x = rng.rand_dense(jax.random.PRNGKey(5), (4, 64))
+    y = qat_forward(params, x, 0.2)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_train_step_reduces_loss(key):
+    cfg = TernaryMLPConfig(layer_dims=(32, 64, 32))
+    kp, kx, ky = jax.random.split(key, 3)
+    params = init_mlp(kp, cfg)
+    params = {"w": [w * 0.5 + 0.1 for w in params["w"]], "b": params["b"]}
+    x = rng.rand_dense(kx, (64, 32))
+    y = rng.rand_dense(ky, (64, 32))
+    init_opt, step = make_train_step(alpha=cfg.alpha, learning_rate=1e-2)
+    opt_state = init_opt(params)
+    jstep = jax.jit(step)
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = jstep(params, opt_state, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_absmean_scale_positive(key):
+    w = rng.rand_dense(key, (16, 16))
+    assert float(absmean_scale(w)) > 0
