@@ -22,3 +22,17 @@ __version__ = "0.1.0"
 from smmb_tpu.formats.tcsc import TCSC, tcsc_from_dense, tcsc_to_dense
 from smmb_tpu.formats.bcsr import BCSR, bcsr_from_dense, bcsr_to_dense
 from smmb_tpu.formats.packed import TernaryPacked, pack_ternary, unpack_ternary
+from smmb_tpu.formats.tcsc import TCSCPadded, tcsc_pad_columns
+from smmb_tpu.formats.packed import pack_ternary_device
+from smmb_tpu.kernels.packed_spmm import packed_spmm
+from smmb_tpu.ops import (
+    bcsr_spmm,
+    bcsr_spmm_prelu,
+    gemm,
+    gemm_prelu,
+    packed_spmm_jnp,
+    prelu,
+    tcsc_spmm,
+    tcsc_spmm_padded,
+    tcsc_spmm_prelu,
+)

@@ -46,26 +46,6 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _decode_tile(wp: jax.Array, dtype) -> jax.Array:
-    """(G*SUB, BN) packed int8 tile → (G*GROUP_ROWS, BN) ternary in ``dtype``.
-
-    Same math as formats.packed.decode_words, written block-wise: for each
-    512-row group, four sign-extend passes concatenated along sublanes give
-    logical rows in natural order.
-    """
-    prows, bn = wp.shape
-    g = prows // SUB
-    parts = []
-    for gi in range(g):
-        # int32 lane ops: Mosaic does not legalize int8 vector shifts
-        # (arith.shli on vector<..xi8>), so decode in 32-bit registers.
-        block = wp[gi * SUB : (gi + 1) * SUB, :].astype(jnp.int32)
-        for i in range(VALUES_PER_BYTE):
-            # bits 2i..2i+1, sign-extended: (w << (30-2i)) >> 30
-            parts.append(((block << (30 - 2 * i)) >> 30).astype(dtype))
-    return jnp.concatenate(parts, axis=0)
-
-
 def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk, alpha, compute_dtype):
     k = pl.program_id(2)
 
@@ -75,7 +55,6 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk, alpha, compute_dtype):
             b_ref[:].astype(jnp.float32), acc_ref.shape
         )
 
-    wd = _decode_tile(w_ref[:], compute_dtype)  # (BK, BN)
     # f32 mode needs HIGHEST precision: the MXU otherwise runs f32 matmuls
     # as single-pass bf16, violating the reference's 1e-4 parity contract.
     precision = (
@@ -83,12 +62,26 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk, alpha, compute_dtype):
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    acc_ref[:] += jnp.dot(
-        x_ref[:].astype(compute_dtype),
-        wd,
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    x = x_ref[:].astype(compute_dtype)
+    groups = w_ref.shape[0] // SUB
+    acc = acc_ref[:]
+    for gi in range(groups):
+        # int32 lane ops: Mosaic does not legalize int8 vector shifts
+        # (arith.shli on vector<..xi8>), so decode in 32-bit registers.
+        block = w_ref[gi * SUB : (gi + 1) * SUB, :].astype(jnp.int32)
+        for i in range(VALUES_PER_BYTE):
+            # plane i of group gi = logical rows [base, base + SUB);
+            # sign-extend bits 2i..2i+1: (w << (30-2i)) >> 30. One MXU dot
+            # per decoded plane (K=SUB=128) — no sublane concat/copy.
+            plane = ((block << (30 - 2 * i)) >> 30).astype(compute_dtype)
+            base = gi * GROUP_ROWS + i * SUB
+            acc += jnp.dot(
+                x[:, base : base + SUB],
+                plane,
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+    acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
     def _():

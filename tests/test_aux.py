@@ -1,0 +1,49 @@
+"""Aux subsystem tests: config layer, trace capture, scaling harness."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from smmb_tpu.bench.scaling import run_scaling
+from smmb_tpu.bench.trace import annotate, capture_trace
+from smmb_tpu.utils.config import BenchConfig
+
+
+def test_config_roundtrip():
+    cfg = BenchConfig(ms=(1, 2), iters=3, mesh_shapes=((1, 2), (2, 2)))
+    text = cfg.to_json()
+    back = BenchConfig.from_json(text)
+    assert back == cfg
+    assert len(cfg.cases()) == len(cfg.non_zeros) * 2 * len(cfg.ks) * len(cfg.ns)
+
+
+def test_config_json_valid():
+    json.loads(BenchConfig().to_json())
+
+
+def test_capture_trace(tmp_path):
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((64, 64))
+    d = capture_trace(f, x, trace_dir=str(tmp_path / "trace"), n_calls=2)
+    assert os.path.isdir(d)
+    # profiler should have written something under the dir
+    entries = [p for p, _, files in os.walk(d) for f_ in files]
+    assert entries, "trace produced no files"
+
+
+def test_annotate_context():
+    with annotate("test-region"):
+        pass
+
+
+def test_scaling_harness_cpu():
+    pts = run_scaling(
+        m=8, k=1024, n=1024, non_zero=2,
+        mesh_shapes=((1, 1), (1, 2)), iters=2, reps=2, use_kernel=False,
+    )
+    assert len(pts) == 2
+    assert pts[0].devices == 1 and pts[1].devices == 2
+    assert pts[0].efficiency == 1.0
+    assert all(p.nnz_per_s > 0 for p in pts)

@@ -87,3 +87,77 @@ def test_packed_spmm_bf16_mode():
     )
     # sqrt(K)·eps_bf16 scale tolerance
     assert_close(y, ref, 0.2, "packed_spmm bf16")
+
+
+# ---------------------------------------------------------------- BCSR kernel
+
+
+def _block_sparse_matrix(seed, k, n, r, c, keep=0.3):
+    """Ternary matrix whose nonzeros live only in `keep` fraction of r×c
+    blocks (some block rows/cols left fully empty)."""
+    rs = np.random.RandomState(seed)
+    w = np.zeros((k, n), np.float32)
+    for bi in range(k // r):
+        for bj in range(n // c):
+            if rs.rand() < keep:
+                blk = rs.choice(
+                    [-1.0, 0.0, 1.0], size=(r, c), p=[0.25, 0.5, 0.25]
+                )
+                w[bi * r : (bi + 1) * r, bj * c : (bj + 1) * c] = blk
+    return w
+
+
+def test_bcsr_pallas_parity():
+    from smmb_tpu.formats.bcsr import bcsr_from_dense
+    from smmb_tpu.kernels.bcsr_spmm import bcsr_prepare, bcsr_spmm_pallas
+
+    w = _block_sparse_matrix(0, 512, 512, 8, 128)
+    bm = bcsr_from_dense(w, 8, 128)
+    assert bm.k > 0
+    prep = bcsr_prepare(bm)
+    kx, kb = jax.random.split(jax.random.PRNGKey(31))
+    x = rng.rand_dense(kx, (16, 512))
+    b = rng.rand_dense(kb, (512,))
+    ref = gemm(x, jnp.asarray(w), b)
+    y = bcsr_spmm_pallas(x, prep, b)
+    assert_close(y, ref, TOL_DENSE, "bcsr pallas")
+    # fused prelu — incl. activation of empty-column bias
+    refp = gemm_prelu(x, jnp.asarray(w), b, ALPHA)
+    yp = bcsr_spmm_pallas(x, prep, b, alpha=ALPHA)
+    assert_close(yp, refp, TOL_DENSE, "bcsr pallas prelu")
+
+
+def test_bcsr_pallas_mxu_blocks():
+    from smmb_tpu.formats.bcsr import bcsr_from_dense
+    from smmb_tpu.kernels.bcsr_spmm import bcsr_prepare, bcsr_spmm_pallas
+
+    w = _block_sparse_matrix(1, 512, 1024, 128, 128, keep=0.4)
+    bm = bcsr_from_dense(w, 128, 128)
+    prep = bcsr_prepare(bm)
+    x = rng.rand_dense(jax.random.PRNGKey(32), (100, 512))  # M not aligned
+    ref = gemm(x, jnp.asarray(w))
+    y = bcsr_spmm_pallas(x, prep, None)
+    assert_close(y, ref, TOL_DENSE, "bcsr pallas 128x128")
+
+
+def test_bcsr_pallas_empty():
+    from smmb_tpu.formats.bcsr import bcsr_from_dense
+    from smmb_tpu.kernels.bcsr_spmm import bcsr_prepare, bcsr_spmm_pallas
+
+    bm = bcsr_from_dense(np.zeros((256, 256), np.float32), 8, 128)
+    prep = bcsr_prepare(bm)
+    x = jnp.ones((4, 256))
+    b = jnp.arange(256, dtype=jnp.float32) - 128.0
+    y = bcsr_spmm_pallas(x, prep, b, alpha=ALPHA)
+    ref = np.where(np.asarray(b) > 0, np.asarray(b), ALPHA * np.asarray(b))
+    np.testing.assert_allclose(np.asarray(y), np.tile(ref, (4, 1)), atol=1e-6)
+
+
+def test_bcsr_pallas_block_validation():
+    from smmb_tpu.formats.bcsr import bcsr_from_dense
+    from smmb_tpu.kernels.bcsr_spmm import bcsr_prepare, bcsr_spmm_pallas
+
+    bm = bcsr_from_dense(np.zeros((64, 64), np.float32), 8, 8)
+    prep = bcsr_prepare(bm)
+    with pytest.raises(ValueError):
+        bcsr_spmm_pallas(jnp.ones((4, 64)), prep, None)
