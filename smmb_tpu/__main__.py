@@ -1,0 +1,37 @@
+"""CLI: ``python -m smmb_tpu {showcase,sweep,scaling,headline}``.
+
+The L5 automation surface (reference: ./benchmark.sh + parse-out2csv.sh +
+performance.py, SURVEY.md §3.5) as one entry point.
+"""
+
+import sys
+
+
+def main():
+    args = sys.argv[1:]
+    mode = args[0] if args else "showcase"
+    rest = args[1:]
+    if mode in ("showcase", "sweep"):
+        from smmb_tpu.bench.sweep import main as sweep_main
+
+        sweep_main([mode] + rest)
+    elif mode == "scaling":
+        from smmb_tpu.bench.scaling import main as scaling_main
+
+        scaling_main()
+    elif mode == "headline":
+        import runpy
+        import os
+
+        sys.argv = ["bench.py"]
+        runpy.run_path(
+            os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+            run_name="__main__",
+        )
+    else:
+        print(__doc__)
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

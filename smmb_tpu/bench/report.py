@@ -124,3 +124,34 @@ def plot_performance(
     fig.savefig(path, dpi=150)
     plt.close(fig)
     return path
+
+
+class Progress:
+    """Minimal terminal progress line with ETA — the progress_bar.h analog
+    (/root/reference/progress_bar.h:11-96), without the artificial sleeps."""
+
+    def __init__(self, total: int, label: str = "", stream=None):
+        import sys
+        import time
+
+        self.total = max(total, 1)
+        self.label = label
+        self.n = 0
+        self._t0 = time.time()
+        self._stream = stream or sys.stderr
+
+    def step(self, k: int = 1):
+        import time
+
+        self.n += k
+        frac = self.n / self.total
+        elapsed = time.time() - self._t0
+        eta = elapsed / frac - elapsed if frac > 0 else 0.0
+        bar = "#" * int(30 * frac) + "-" * (30 - int(30 * frac))
+        self._stream.write(
+            f"\r{self.label} [{bar}] {self.n}/{self.total} "
+            f"({elapsed:5.1f}s, eta {eta:5.1f}s)"
+        )
+        if self.n >= self.total:
+            self._stream.write("\n")
+        self._stream.flush()
