@@ -135,6 +135,14 @@ def _kernels_for_case(x, w_np, b, use_pallas: bool):
                 (x, p, b),
                 sparse_f,
             ),
+            (
+                "packed_kernel_w2a8",
+                lambda x, p, b: packed_spmm(
+                    x, p, b, compute_dtype=jnp.int8
+                ),
+                (x, p, b),
+                sparse_f,
+            ),
         ]
     if m % 8 == 0 or m == 1:  # BCSR needs divisible blocks
         if k % 8 == 0 and n % 8 == 0:
@@ -180,7 +188,12 @@ def run_case(
     for name, fn, args, work in kernels:
         oracle = ref_prelu if "prelu" in name else ref
         y = np.asarray(fn(*args))
-        tol = TOL_DENSE if "bf16" not in name else 0.2
+        if "bf16" in name:
+            tol = 0.01 * max(1.0, float(np.abs(oracle).max()))
+        elif "w2a8" in name:
+            tol = 0.03 * max(1.0, float(np.abs(oracle).max()))
+        else:
+            tol = TOL_DENSE
         cmp = compare(y, oracle, tol)
         if validate and not cmp.ok:
             out.append(

@@ -8,14 +8,18 @@ step 3, re-thought for the MXU):
 * The reference removes multiplications from a scalar inner loop; on TPU the
   multiplier array is free and the binding resource is HBM bandwidth. So the
   kernel streams the 2-bit ``TernaryPacked`` weight planes (16× smaller than
-  the fp32 weights the reference reads), decodes each K-tile in VMEM with
-  four shift/sign-extend passes + a sublane concat (see
-  smmb_tpu/formats/packed.py for the group-strided layout that makes the
-  decode gather-free), and feeds the MXU.
+  the fp32 weights the reference reads), decodes each 128-row plane in VMEM
+  with two shift ops (see smmb_tpu/formats/packed.py for the group-strided
+  layout that makes the decode gather-free), and issues one MXU dot per
+  plane — the decode hides behind the matmul at batch ≥ ~64.
 * Grid is (M-tiles, N-tiles, K-tiles) with K innermost; partial products
-  accumulate in an f32 VMEM scratch, bias is the accumulator seed, and the
-  PReLU epilogue runs on the last K step — the reference's "on-the-go"
-  variant (/root/reference/sparse/tcsc.c:231-275) is literally free here.
+  accumulate in a VMEM scratch (f32, or int32 in W2A8 mode); bias, dequant
+  scale, and the PReLU epilogue apply on the last K step — the reference's
+  "on-the-go" variant (/root/reference/sparse/tcsc.c:231-275) is literally
+  free here.
+* W2A8 serving mode (``compute_dtype=jnp.int8``): activations are per-row
+  absmax-quantized to int8, the MXU accumulates in int32, and the epilogue
+  dequantizes — halves activation traffic; accuracy budget ~1% of |Y|.
 * Pipelining (double-buffered HBM→VMEM tile DMA) comes from the pallas_call
   grid machinery; no hand-rolled DMA needed at this block granularity.
 
@@ -46,23 +50,28 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk, alpha, compute_dtype):
+def _kernel(*refs, nk, alpha, compute_dtype):
+    quant = compute_dtype == jnp.int8
+    if quant:
+        x_ref, w_ref, b_ref, s_ref, o_ref, acc_ref = refs
+    else:
+        x_ref, w_ref, b_ref, o_ref, acc_ref = refs
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
-        acc_ref[:] = jnp.broadcast_to(
-            b_ref[:].astype(jnp.float32), acc_ref.shape
-        )
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # f32 mode needs HIGHEST precision: the MXU otherwise runs f32 matmuls
     # as single-pass bf16, violating the reference's 1e-4 parity contract.
+    # int8 mode rides the double-rate int8 MXU path (int32 accumulation).
     precision = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    x = x_ref[:].astype(compute_dtype)
+    acc_t = jnp.int32 if quant else jnp.float32
+    x = x_ref[:] if quant else x_ref[:].astype(compute_dtype)
     groups = w_ref.shape[0] // SUB
     acc = acc_ref[:]
     for gi in range(groups):
@@ -78,14 +87,17 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, nk, alpha, compute_dtype):
             acc += jnp.dot(
                 x[:, base : base + SUB],
                 plane,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc_t,
                 precision=precision,
             )
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
     def _():
-        r = acc_ref[:]
+        r = acc_ref[:].astype(jnp.float32)
+        if quant:
+            r = r * s_ref[:]  # per-row dequant scale (BM, 1)
+        r = r + b_ref[:].astype(jnp.float32)
         if alpha is not None:
             r = jnp.where(r > 0, r, alpha * r)
         o_ref[:] = r.astype(o_ref.dtype)
@@ -109,9 +121,9 @@ def packed_spmm(
     alpha: float | None = None,
     *,
     compute_dtype=jnp.float32,
-    block_m: int = 256,
-    block_n: int = 512,
-    block_k: int = GROUP_ROWS,
+    block_m: int | None = None,
+    block_n: int | None = None,
+    block_k: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """``Y = prelu(X @ W + B, alpha)`` with 2-bit packed ternary W.
@@ -124,21 +136,32 @@ def packed_spmm(
       compute_dtype: MXU input dtype. float32 matches the reference's fp32
         parity contract; bfloat16 doubles MXU throughput (W decodes exactly
         either way — error comes only from casting X).
-      block_m/n/k: VMEM tile sizes. block_k must be a multiple of 512
-        (the packed group size).
+      block_m/n/k: VMEM tile sizes; None picks a measured heuristic —
+        small batches (M<=32, weight-streaming-bound) run best with larger
+        1024x1024 K/N tiles (fewer grid steps per byte of weight traffic),
+        large batches with 512x512 tiles (v5e sweep, docs/DESIGN.md).
+        block_k must be a multiple of 512 (the packed group size).
     Returns:
       (M, N) in x.dtype.
     """
+    m, k = x.shape
+    if block_m is None:
+        block_m = 256
+    if block_n is None:
+        block_n = 512 if m > 32 else 1024
+    if block_k is None:
+        block_k = GROUP_ROWS if m > 32 else 2 * GROUP_ROWS
     if block_k % GROUP_ROWS:
         raise ValueError(f"block_k={block_k} must be a multiple of {GROUP_ROWS}")
-    m, k = x.shape
     kp, n = w.data.shape
     kpad = kp * VALUES_PER_BYTE
     if k != w.rows:
         raise ValueError(f"x K dim {k} != weight rows {w.rows}")
 
+    quant = compute_dtype == jnp.int8
     out_dtype = x.dtype
-    bm = min(block_m, _round_up(m, 8))
+    # int8 VMEM tiles need >=32 sublanes
+    bm = min(block_m, _round_up(m, 32 if quant else 8))
     bn = min(block_n, _round_up(n, 128))
     bk = min(block_k, kpad)
 
@@ -146,9 +169,19 @@ def packed_spmm(
     npad = _round_up(n, bn)
     kq = _round_up(kpad, bk)
 
-    xq = x
-    if mp != m or kq != k:
-        xq = jnp.pad(x, ((0, mp - m), (0, kq - k)))
+    if quant:
+        # W2A8 serving mode: per-row absmax quantization of activations;
+        # the kernel dequantizes in the epilogue with the per-row scale.
+        scale = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-12)
+        xq8 = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+        xq = jnp.pad(xq8, ((0, mp - m), (0, kq - k)))
+        sq = jnp.pad(scale.astype(jnp.float32), ((0, mp - m), (0, 0)))
+    else:
+        xq = x
+        if mp != m or kq != k:
+            xq = jnp.pad(x, ((0, mp - m), (0, kq - k)))
+        sq = None
     wq = w.data
     bq = jnp.zeros((1, npad), jnp.float32)
     if b is not None:
@@ -158,37 +191,47 @@ def packed_spmm(
 
     nm, nn, nk = mp // bm, npad // bn, kq // bk
 
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, s: (i, s), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (bk // VALUES_PER_BYTE, bn),
+            lambda i, j, s: (s, j),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((1, bn), lambda i, j, s: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [xq, wq, bq]
+    if quant:
+        in_specs.append(
+            pl.BlockSpec((bm, 1), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(sq)
+
     out = pl.pallas_call(
         functools.partial(
             _kernel, nk=nk, alpha=alpha, compute_dtype=compute_dtype
         ),
         grid=(nm, nn, nk),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, s: (i, s), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (bk // VALUES_PER_BYTE, bn),
-                lambda i, j, s: (s, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, bn), lambda i, j, s: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, s: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((mp, npad), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.int32 if quant else jnp.float32)
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * mp * npad * kq,
-            bytes_accessed=mp * kq * x.dtype.itemsize
+            bytes_accessed=mp * kq * xq.dtype.itemsize
             + kq * npad // VALUES_PER_BYTE
             + mp * npad * out_dtype.itemsize,
             transcendentals=0,
         ),
         interpret=use_interpret(interpret),
-    )(xq, wq, bq)
+    )(*operands)
     if mp != m or npad != n:
         out = out[:m, :n]
     return out

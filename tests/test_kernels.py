@@ -161,3 +161,19 @@ def test_bcsr_pallas_block_validation():
     prep = bcsr_prepare(bm)
     with pytest.raises(ValueError):
         bcsr_spmm_pallas(jnp.ones((4, 64)), prep, None)
+
+
+def test_packed_spmm_w2a8_mode():
+    # int8-activation serving mode: error budget set by 8-bit x quantization
+    x, w, b = _setup(17, 64, 1024, 512)
+    ref = gemm(x, jnp.asarray(w), b)
+    p = pack_ternary(w)
+    y = packed_spmm(x, p, b, compute_dtype=jnp.int8)
+    err = float(jnp.abs(y - ref).max())
+    scale = float(jnp.abs(ref).max())
+    assert err < 0.02 * scale + 0.1, f"w2a8 err {err} vs scale {scale}"
+    # prelu fuses in the dequant epilogue
+    refp = gemm_prelu(x, jnp.asarray(w), b, ALPHA)
+    yp = packed_spmm(x, p, b, alpha=ALPHA, compute_dtype=jnp.int8)
+    errp = float(jnp.abs(yp - refp).max())
+    assert errp < 0.02 * scale + 0.1

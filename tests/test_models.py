@@ -30,7 +30,10 @@ def test_mlp_forward_matches_dense_oracle(key):
     ref = x
     for w, b in zip(params["w"], params["b"]):
         ref = gemm_prelu(ref, w, b, cfg.alpha)
-    assert_close(y, ref, TOL_DENSE, "mlp vs per-layer oracle")
+    # multi-layer outputs reach magnitude ~1e2; scale the abs tolerance
+    # (bias applies in the kernel epilogue — different rounding order)
+    tol = max(TOL_DENSE, 2e-6 * float(np.abs(np.asarray(ref)).max()))
+    assert_close(y, ref, tol, "mlp vs per-layer oracle")
 
 
 def test_ternarize_ste_values():
