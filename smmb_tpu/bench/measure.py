@@ -143,20 +143,27 @@ def measure_device(
         jax.block_until_ready(f(args))
         return time.perf_counter() - t0
 
-    deltas = []
+    # The device may be time-shared (remote pools); single readings swing
+    # wildly under contention. Two estimators:
+    #  - min over direct long-loop per-iteration times: a quiet-window
+    #    capability bound that cannot be biased low (loop overhead amortizes
+    #    to < dispatch/2R per call) — the primary number.
+    #  - median of slope estimates (t_2R − t_R)/R: cancels fixed overheads
+    #    exactly but is noise-sensitive in both directions — secondary.
+    direct, deltas = [], []
     for _ in range(reps):
         t_short = run(short)
         t_long = run(long)
+        direct.append(t_long / (2 * iters))
+        direct.append(t_short / iters)
         deltas.append((t_long - t_short) / iters)
-    times = np.array(deltas)
-    # negative slopes can only come from noise; clamp to the best long-run
-    floor = min(run(long) / (2 * iters), float(times[times > 0].min())
-                if (times > 0).any() else float("inf"))
-    mean = float(times.mean()) if times.mean() > 0 else floor
+    best = float(np.min(direct))
+    slope = float(np.median(deltas))
+    mean = slope if slope > 0 else best
     return Measurement(
-        mean_s=max(mean, 1e-9),
-        min_s=max(float(times.min()), 1e-9),
-        std_s=float(times.std()),
+        mean_s=max(min(mean, float(np.median(direct))), 1e-9),
+        min_s=max(best, 1e-9),
+        std_s=float(np.std(deltas)),
         calls_per_batch=iters,
         reps=reps,
     )

@@ -1,0 +1,85 @@
+"""Format serialization (net-new; the reference persists nothing, SURVEY §5).
+
+A ternary-weight framework needs a serving artifact format: ``save``/``load``
+for every sparse format as a single .npz (portable, mmap-friendly), and the
+model-level save of packed MLP weights. Orbax handles training checkpoints of
+fp32 masters (plain pytrees — nothing custom needed); this module covers the
+packed/indexed serving artifacts.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from smmb_tpu.formats.bcsr import BCSR
+from smmb_tpu.formats.packed import TernaryPacked
+from smmb_tpu.formats.tcsc import TCSC
+
+_KIND = {"TCSC": TCSC, "BCSR": BCSR, "TernaryPacked": TernaryPacked}
+
+
+def save(path: str, obj) -> None:
+    """Save a TCSC / BCSR / TernaryPacked matrix to ``path`` (.npz)."""
+    kind = type(obj).__name__
+    if kind not in _KIND:
+        raise TypeError(f"unsupported format: {kind}")
+    import dataclasses
+
+    arrays, meta = {}, {}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if isinstance(v, (int, float)):
+            meta[f.name] = v
+        else:
+            arrays[f.name] = np.asarray(v)
+    np.savez(
+        path,
+        __kind__=np.array(kind),
+        __meta_names__=np.array(list(meta.keys())),
+        __meta_values__=np.array([meta[k] for k in meta.keys()]),
+        **arrays,
+    )
+
+
+def load(path: str):
+    """Load a matrix saved by ``save``; arrays come back as device arrays."""
+    z = np.load(path, allow_pickle=False)
+    kind = str(z["__kind__"])
+    cls = _KIND[kind]
+    meta = {
+        str(k): int(v)
+        for k, v in zip(z["__meta_names__"], z["__meta_values__"])
+    }
+    arrays = {
+        k: jnp.asarray(z[k])
+        for k in z.files
+        if not k.startswith("__")
+    }
+    return cls(**arrays, **meta)
+
+
+def save_packed_mlp(path: str, packed: dict) -> None:
+    """Save a pack_mlp() result ({'w': [TernaryPacked...], 'b': [...]})."""
+    arrays = {}
+    for i, (w, b) in enumerate(zip(packed["w"], packed["b"])):
+        arrays[f"w{i}_data"] = np.asarray(w.data)
+        arrays[f"w{i}_meta"] = np.array([w.rows, w.cols, w.nnz])
+        arrays[f"b{i}"] = np.asarray(b)
+    arrays["n_layers"] = np.array(len(packed["w"]))
+    np.savez(path, **arrays)
+
+
+def load_packed_mlp(path: str) -> dict:
+    z = np.load(path)
+    n = int(z["n_layers"])
+    out = {"w": [], "b": []}
+    for i in range(n):
+        rows, cols, nnz = (int(v) for v in z[f"w{i}_meta"])
+        out["w"].append(
+            TernaryPacked(
+                data=jnp.asarray(z[f"w{i}_data"]), rows=rows, cols=cols, nnz=nnz
+            )
+        )
+        out["b"].append(jnp.asarray(z[f"b{i}"]))
+    return out

@@ -1,0 +1,92 @@
+"""Flax module layer + serialization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smmb_tpu import io as smio
+from smmb_tpu.formats.bcsr import bcsr_from_dense, bcsr_to_dense
+from smmb_tpu.formats.packed import pack_ternary, unpack_ternary
+from smmb_tpu.formats.tcsc import tcsc_from_dense, tcsc_to_dense
+from smmb_tpu.models.mlp import TernaryMLPConfig, init_mlp, pack_mlp
+from smmb_tpu.nn import PackedTernaryDense, TernaryDense, convert_to_packed
+from smmb_tpu.utils import rng
+from smmb_tpu.utils.compare import assert_close
+
+
+def _tern(seed, shape, nz=2):
+    return np.asarray(rng.rand_ternary(jax.random.PRNGKey(seed), shape, nz))
+
+
+# ---------------------------------------------------------------- io
+
+
+def test_save_load_roundtrip(tmp_path):
+    w = _tern(0, (200, 96))
+    for obj, to_dense in (
+        (tcsc_from_dense(w), tcsc_to_dense),
+        (bcsr_from_dense(w[:192], 8, 8), bcsr_to_dense),
+        (pack_ternary(w), unpack_ternary),
+    ):
+        path = str(tmp_path / f"{type(obj).__name__}.npz")
+        smio.save(path, obj)
+        back = smio.load(path)
+        assert type(back) is type(obj)
+        np.testing.assert_array_equal(
+            np.asarray(to_dense(back)), np.asarray(to_dense(obj))
+        )
+
+
+def test_save_load_packed_mlp(tmp_path, key):
+    cfg = TernaryMLPConfig(layer_dims=(64, 128, 64))
+    packed = pack_mlp(init_mlp(key, cfg))
+    path = str(tmp_path / "mlp.npz")
+    smio.save_packed_mlp(path, packed)
+    back = smio.load_packed_mlp(path)
+    assert len(back["w"]) == 2
+    for a, b in zip(packed["w"], back["w"]):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
+        assert (a.rows, a.cols) == (b.rows, b.cols)
+
+
+# ---------------------------------------------------------------- nn
+
+
+def test_ternary_dense_trains(key):
+    m = TernaryDense(features=32, alpha=0.2)
+    x = rng.rand_dense(jax.random.PRNGKey(1), (8, 16))
+    params = m.init(key, x)
+    y, grads = jax.value_and_grad(
+        lambda p: jnp.sum(m.apply(p, x) ** 2)
+    )(params)
+    assert np.isfinite(float(y))
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in flat)
+    assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_convert_and_serve_matches_qat(key):
+    # QAT forward == packed serving forward (same effective weights)
+    m = TernaryDense(features=128, alpha=0.2)
+    x = rng.rand_dense(jax.random.PRNGKey(2), (4, 64))
+    params = m.init(key, x)
+    y_qat = m.apply(params, x)
+
+    packed_params = convert_to_packed(params["params"])
+    serve = PackedTernaryDense(
+        features=128, in_features=64, alpha=0.2,
+        compute_dtype=jnp.float32, use_kernel=False,
+    )
+    y_srv = serve.apply({"params": packed_params}, x)
+    assert_close(y_srv, y_qat, 1e-4, "packed serving vs QAT")
+
+
+def test_convert_nested_tree(key):
+    m = TernaryDense(features=16, alpha=None)
+    x = rng.rand_dense(jax.random.PRNGKey(3), (2, 8))
+    params = m.init(key, x)
+    tree = {"layers_0": params["params"], "other": {"stats": jnp.ones(3)}}
+    out = convert_to_packed(tree)
+    assert "packed_kernel" in out["layers_0"]
+    assert "kernel_scale" in out["layers_0"]
+    np.testing.assert_array_equal(np.asarray(out["other"]["stats"]), 1.0)
