@@ -120,50 +120,68 @@ def _device_loop(fn, n_iters: int):
 def measure_device(
     fn,
     *args,
-    iters: int = 50,
+    iters: int | None = None,
     reps: int = DEFAULT_REPS,
+    min_batch_s: float = 0.3,
 ) -> Measurement:
-    """Per-call device time with host-dispatch latency cancelled.
+    """Per-call device time, robust to dispatch latency AND contention.
 
-    Through a remote-dispatch tunnel (or any high-latency host link), naive
-    walltime measures round-trip latency, not the kernel. This variant runs
-    the kernel ``iters`` and ``2×iters`` times inside single jitted device
-    loops and reports the slope ``(t_2R − t_R) / R`` — dispatch overhead and
-    loop fixed costs cancel. The TPU analog of the reference's
-    timer-overhead-defeating warm-up batching (/root/reference/measure.h:24-49).
+    Through a remote-dispatch tunnel the per-call overhead can be tens of
+    milliseconds and the chip may be time-shared, so both naive walltime and
+    small fixed-count loops mislead. Protocol (the TPU analog of the
+    reference's timer-overhead-defeating warm-up batching,
+    /root/reference/measure.h:24-49):
+
+      1. calibrate: double the device-loop length R until one loop costs
+         ≥ ``min_batch_s`` (fixed overhead then ≤ ~10%);
+      2. run R- and 2R-iteration loops ``reps`` times; estimate the fixed
+         overhead as median(2·t_R − t_2R) (exact if both runs are quiet);
+      3. report min over overhead-corrected per-iteration times (quiet-window
+         capability — contention only ever makes runs slower) as ``min_s``
+         and the median as ``mean_s``.
+
+    ``iters`` overrides the calibrated R (step 1 skipped).
     """
-    short = _device_loop(fn, iters)
-    long = _device_loop(fn, 2 * iters)
-
-    jax.block_until_ready(short(args))  # compile
-    jax.block_until_ready(long(args))
-
     def run(f) -> float:
         t0 = time.perf_counter()
         jax.block_until_ready(f(args))
         return time.perf_counter() - t0
 
-    # The device may be time-shared (remote pools); single readings swing
-    # wildly under contention. Two estimators:
-    #  - min over direct long-loop per-iteration times: a quiet-window
-    #    capability bound that cannot be biased low (loop overhead amortizes
-    #    to < dispatch/2R per call) — the primary number.
-    #  - median of slope estimates (t_2R − t_R)/R: cancels fixed overheads
-    #    exactly but is noise-sensitive in both directions — secondary.
-    direct, deltas = [], []
+    if iters is None:
+        iters = 16
+        while True:
+            loop = _device_loop(fn, iters)
+            jax.block_until_ready(loop(args))  # compile
+            t = min(run(loop), run(loop))
+            if t >= min_batch_s or iters >= 1 << 18:
+                break
+            # overshoot toward the target like the reference's ×2 retry
+            iters = max(
+                2 * iters, int(iters * min_batch_s / max(t, 1e-9)) + 1
+            )
+
+    short = _device_loop(fn, iters)
+    long = _device_loop(fn, 2 * iters)
+    jax.block_until_ready(short(args))
+    jax.block_until_ready(long(args))
+
+    t_shorts, t_longs = [], []
     for _ in range(reps):
-        t_short = run(short)
-        t_long = run(long)
-        direct.append(t_long / (2 * iters))
-        direct.append(t_short / iters)
-        deltas.append((t_long - t_short) / iters)
-    best = float(np.min(direct))
-    slope = float(np.median(deltas))
-    mean = slope if slope > 0 else best
+        t_shorts.append(run(short))
+        t_longs.append(run(long))
+    t_shorts = np.array(t_shorts)
+    t_longs = np.array(t_longs)
+    overhead = max(0.0, float(np.median(2 * t_shorts - t_longs)))
+    per_iter = np.concatenate(
+        [(t_shorts - overhead) / iters, (t_longs - overhead) / (2 * iters)]
+    )
+    per_iter = per_iter[per_iter > 0]
+    if len(per_iter) == 0:
+        per_iter = np.array([t_longs.min() / (2 * iters)])
     return Measurement(
-        mean_s=max(min(mean, float(np.median(direct))), 1e-9),
-        min_s=max(best, 1e-9),
-        std_s=float(np.std(deltas)),
+        mean_s=max(float(np.median(per_iter)), 1e-9),
+        min_s=max(float(np.min(per_iter)), 1e-9),
+        std_s=float(np.std(per_iter)),
         calls_per_batch=iters,
         reps=reps,
     )

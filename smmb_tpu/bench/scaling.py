@@ -40,7 +40,7 @@ def run_scaling(
     non_zero: int = 10,
     mesh_shapes=((1, 1), (1, 2), (1, 4), (1, 8)),
     *,
-    iters: int = 10,
+    iters: int | None = None,
     reps: int = 3,
     use_kernel: bool | None = None,
 ) -> list[ScalePoint]:

@@ -165,7 +165,7 @@ def run_case(
     non_zero: int,
     *,
     seed: int = 0,
-    iters: int = 20,
+    iters: int | None = None,
     reps: int = 5,
     validate: bool = True,
     use_pallas: bool | None = None,
@@ -259,7 +259,7 @@ def main(argv=None):
                     default="showcase")
     ap.add_argument("--csv", default=None, help="write results CSV here")
     ap.add_argument("--plot", default=None, help="write performance.png here")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args(argv)
 

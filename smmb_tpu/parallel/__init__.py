@@ -1,4 +1,5 @@
 from smmb_tpu.parallel.mesh import make_mesh
+from smmb_tpu.parallel.overlap import sharded_spmm_column_overlapped
 from smmb_tpu.parallel.sharded import (
     shard_packed_columns,
     shard_packed_rows,

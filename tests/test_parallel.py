@@ -114,3 +114,27 @@ def test_mlp_sharded_odd_depth(key):
     sharded = shard_mlp(packed, mesh)
     y = mlp_forward_sharded(sharded, x, cfg, mesh=mesh)
     assert_close(y, ref, TOL_DENSE, "odd-depth sharded MLP")
+
+
+def test_overlapped_column_parity():
+    # ring collective-matmul path == plain column-parallel == dense oracle
+    from smmb_tpu.parallel.overlap import sharded_spmm_column_overlapped
+
+    mesh = make_mesh(1, 4)
+    x, w, b = _setup(24, 8, 2048, 512)  # K=2048 = 4 shards x 512-row groups
+    ref = gemm_prelu(x, jnp.asarray(w), b, ALPHA)
+    p = shard_packed_columns(pack_ternary(w), mesh)
+    y = sharded_spmm_column_overlapped(x, p, b, mesh=mesh, alpha=ALPHA)
+    assert_close(y, ref, TOL_DENSE, "overlapped column")
+
+
+def test_overlapped_column_validation():
+    from smmb_tpu.parallel.overlap import sharded_spmm_column_overlapped
+
+    mesh = make_mesh(1, 4)
+    x, w, b = _setup(25, 4, 1024, 512)  # 1024 rows = 2 groups, not /4
+    p = shard_packed_columns(pack_ternary(w), mesh)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sharded_spmm_column_overlapped(x, p, b, mesh=mesh)
