@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smmb_tpu.bench.flops import dense_flops, sparse_flops, spmm_bytes
-from smmb_tpu.bench.measure import Measurement, measure_device
+from smmb_tpu.bench.measure import measure_device
 from smmb_tpu.bench.report import (
     results_table,
     speedup_analysis,
@@ -30,7 +30,7 @@ from smmb_tpu.bench.report import (
 )
 from smmb_tpu.bench.roofline import chip_spec, roofline_time_s
 from smmb_tpu.formats.bcsr import bcsr_from_dense
-from smmb_tpu.formats.packed import TernaryPacked, pack_ternary
+from smmb_tpu.formats.packed import pack_ternary
 from smmb_tpu.formats.tcsc import tcsc_from_dense
 from smmb_tpu.kernels.packed_spmm import packed_spmm
 from smmb_tpu.ops import (
@@ -202,6 +202,7 @@ def run_case(
             )
             continue
         meas = measure_device(fn, *args, iters=iters, reps=reps)
+        t_best = meas.min_s  # quiet-window capability (see measure_device)
         wb = (
             p.weight_bytes()
             if name.startswith(("packed", "tcsc"))
@@ -221,11 +222,11 @@ def run_case(
                 name,
                 True,
                 cmp.max_abs_err,
-                meas.mean_s,
+                t_best,
                 work,
-                work / meas.mean_s,
-                nnz * m / meas.mean_s,
-                sol / meas.mean_s,
+                work / t_best,
+                nnz * m / t_best,
+                sol / t_best,
             )
         )
     return out

@@ -71,7 +71,9 @@ def _kernel(*refs, nk, alpha, compute_dtype):
         else jax.lax.Precision.DEFAULT
     )
     acc_t = jnp.int32 if quant else jnp.float32
-    x = x_ref[:] if quant else x_ref[:].astype(compute_dtype)
+    # x arrives pre-cast to compute_dtype (wrapper casts once; casting here
+    # would repeat per N-tile since the x block only depends on (m, k))
+    x = x_ref[:]
     groups = w_ref.shape[0] // SUB
     acc = acc_ref[:]
     for gi in range(groups):
@@ -160,8 +162,9 @@ def packed_spmm(
 
     quant = compute_dtype == jnp.int8
     out_dtype = x.dtype
-    # int8 VMEM tiles need >=32 sublanes
-    bm = min(block_m, _round_up(m, 32 if quant else 8))
+    # min sublane tile: int8 needs 32, bf16 16, f32 8
+    sub_min = 32 if quant else (16 if compute_dtype == jnp.bfloat16 else 8)
+    bm = min(block_m, _round_up(m, sub_min))
     bn = min(block_n, _round_up(n, 128))
     bk = min(block_k, kpad)
 
@@ -178,9 +181,9 @@ def packed_spmm(
         xq = jnp.pad(xq8, ((0, mp - m), (0, kq - k)))
         sq = jnp.pad(scale.astype(jnp.float32), ((0, mp - m), (0, 0)))
     else:
-        xq = x
+        xq = x.astype(compute_dtype)  # cast once, not per N-tile
         if mp != m or kq != k:
-            xq = jnp.pad(x, ((0, mp - m), (0, kq - k)))
+            xq = jnp.pad(xq, ((0, mp - m), (0, kq - k)))
         sq = None
     wq = w.data
     bq = jnp.zeros((1, npad), jnp.float32)

@@ -24,7 +24,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from smmb_tpu.formats.packed import TernaryPacked, pack_ternary_device
+from smmb_tpu.formats.packed import pack_ternary_device
 from smmb_tpu.kernels.packed_spmm import packed_spmm
 from smmb_tpu.ops.spmm import packed_spmm_jnp
 from smmb_tpu.parallel.sharded import (
