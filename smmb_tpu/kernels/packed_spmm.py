@@ -152,7 +152,11 @@ def packed_spmm(
     if block_n is None:
         block_n = 512 if m > 32 else 1024
     if block_k is None:
-        block_k = GROUP_ROWS if m > 32 else 2 * GROUP_ROWS
+        # large K-tiles amortize accumulator traffic and interleave decode
+        # with the MXU better (v5e sweep: 512->2048 took the headline config
+        # from 63us to 54.5us); kept under 4096 — full-K tiles hit a
+        # pathological Mosaic compile
+        block_k = 4 * GROUP_ROWS if m > 32 else 2 * GROUP_ROWS
     if block_k % GROUP_ROWS:
         raise ValueError(f"block_k={block_k} must be a multiple of {GROUP_ROWS}")
     kp, n = w.data.shape
