@@ -47,3 +47,22 @@ def test_scaling_harness_cpu():
     assert pts[0].devices == 1 and pts[1].devices == 2
     assert pts[0].efficiency == 1.0
     assert all(p.nnz_per_s > 0 for p in pts)
+
+
+def test_autotune_cache(tmp_path, monkeypatch):
+    from smmb_tpu.bench import autotune
+
+    monkeypatch.setattr(
+        autotune, "CACHE_PATH", str(tmp_path / "cache.json")
+    )
+    import jax.numpy as jnp
+
+    cfg = autotune.autotune_packed_spmm(
+        4, 512, 256, jnp.float32,
+        candidates=[{"block_m": 32, "block_n": 256, "block_k": 512}],
+        reps=2,
+    )
+    assert cfg["block_n"] == 256
+    # second call hits the cache (no measurement)
+    cfg2 = autotune.autotune_packed_spmm(4, 512, 256, jnp.float32)
+    assert cfg2 == cfg
