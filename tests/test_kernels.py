@@ -177,3 +177,48 @@ def test_packed_spmm_w2a8_mode():
     yp = packed_spmm(x, p, b, alpha=ALPHA, compute_dtype=jnp.int8)
     errp = float(jnp.abs(yp - refp).max())
     assert errp < 0.02 * scale + 0.1
+
+
+def test_packed_linear_vjp():
+    # gradients through the frozen packed layer match dense-matmul autodiff
+    from smmb_tpu.kernels.packed_vjp import (
+        make_packed_linear,
+        pack_with_transpose,
+    )
+
+    kx, kw, kb, kg = jax.random.split(jax.random.PRNGKey(41), 4)
+    x = rng.rand_dense(kx, (8, 512))
+    w = np.asarray(rng.rand_ternary(kw, (512, 256)))
+    b = rng.rand_dense(kb, (256,))
+    gy = rng.rand_dense(kg, (8, 256))
+
+    wp, wtp = pack_with_transpose(w)
+    layer = make_packed_linear(
+        wp, wtp, alpha=ALPHA, compute_dtype=jnp.float32, use_kernel=False
+    )
+
+    def loss_packed(x, b):
+        return jnp.sum(layer(x, b) * gy)
+
+    def loss_dense(x, b):
+        y = gemm_prelu(x, jnp.asarray(w), b, ALPHA)
+        return jnp.sum(y * gy)
+
+    y = layer(x, b)
+    assert_close(y, gemm_prelu(x, jnp.asarray(w), b, ALPHA), TOL_DENSE)
+    gx_p, gb_p = jax.grad(loss_packed, argnums=(0, 1))(x, b)
+    gx_d, gb_d = jax.grad(loss_dense, argnums=(0, 1))(x, b)
+    assert_close(gx_p, gx_d, 1e-3, "dx")
+    assert_close(gb_p, gb_d, 1e-3, "db")
+
+
+def test_pack_with_transpose_validation():
+    from smmb_tpu.kernels.packed_vjp import (
+        make_packed_linear,
+        pack_with_transpose,
+    )
+
+    w = np.asarray(rng.rand_ternary(jax.random.PRNGKey(42), (64, 32)))
+    wp, wtp = pack_with_transpose(w)
+    with pytest.raises(ValueError):
+        make_packed_linear(wp, wp)  # not a transpose
