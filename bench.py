@@ -37,6 +37,9 @@ TARGET_FRAC = 0.80  # BASELINE.md per-chip roofline target
 
 
 def main():
+    from smmb_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     kx, kw, kb = jax.random.split(jax.random.PRNGKey(0), 3)
     x = rng.rand_dense(kx, (M, K))
     w = rng.rand_ternary(kw, (K, N), non_zero=NON_ZERO)

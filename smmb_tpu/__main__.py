@@ -8,6 +8,9 @@ import sys
 
 
 def main():
+    from smmb_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = sys.argv[1:]
     mode = args[0] if args else "showcase"
     rest = args[1:]

@@ -186,6 +186,7 @@ def run_case(
 
     out = []
     for name, fn, args, work in kernels:
+        import sys as _sys
         oracle = ref_prelu if "prelu" in name else ref
         y = np.asarray(fn(*args))
         if "bf16" in name:
@@ -200,6 +201,7 @@ def run_case(
                 CaseResult(case, name, False, cmp.max_abs_err, float("nan"),
                            work, 0.0, 0.0, 0.0)
             )
+            print(_progress_row(out[-1]), file=_sys.stderr, flush=True)
             continue
         meas = measure_device(fn, *args, iters=iters, reps=reps)
         t_best = meas.min_s  # quiet-window capability (see measure_device)
@@ -229,6 +231,7 @@ def run_case(
                 sol / t_best,
             )
         )
+        print(_progress_row(out[-1]), file=_sys.stderr, flush=True)
     return out
 
 
@@ -238,6 +241,18 @@ def run_showcase(**kw) -> list[CaseResult]:
     for m, k, n in SHOWCASE_CASES:
         results += run_case(m, k, n, non_zero=2, **kw)
     return results
+
+
+def _progress_row(r: CaseResult) -> str:
+    return (
+        f"[{r.case}] {r.kernel:<22s} "
+        + (
+            f"t={r.mean_s * 1e6:9.1f}us frac={r.frac_roofline:5.2f} "
+            f"err={r.max_err:.1e}"
+            if r.valid
+            else f"INVALID err={r.max_err:.3e}"
+        )
+    )
 
 
 def run_sweep(
