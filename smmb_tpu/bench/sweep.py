@@ -169,6 +169,7 @@ def run_case(
     reps: int = 5,
     validate: bool = True,
     use_pallas: bool | None = None,
+    kernel_filter: tuple | None = None,
 ) -> list[CaseResult]:
     """Validate-then-measure all kernel variants on one configuration."""
     if use_pallas is None:
@@ -178,6 +179,8 @@ def run_case(
     w_np = np.asarray(rng.rand_ternary(kw, (k, n), non_zero=non_zero))
     b = rng.rand_dense(kb, (n,))
     kernels, nnz, p = _kernels_for_case(x, w_np, b, use_pallas)
+    if kernel_filter:
+        kernels = [k_ for k_ in kernels if k_[0] in kernel_filter]
 
     ref = np.asarray(gemm(x, jnp.asarray(w_np), b))
     ref_prelu = np.asarray(gemm_prelu(x, jnp.asarray(w_np), b, ALPHA))
@@ -277,10 +280,15 @@ def main(argv=None):
     ap.add_argument("--plot", default=None, help="write performance.png here")
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--kernels", default=None,
+        help="comma-separated kernel-name filter (default: all)",
+    )
     args = ap.parse_args(argv)
 
     run = run_showcase if args.mode == "showcase" else run_sweep
-    results = run(iters=args.iters, reps=args.reps)
+    kf = tuple(args.kernels.split(",")) if args.kernels else None
+    results = run(iters=args.iters, reps=args.reps, kernel_filter=kf)
     rows = [dataclasses.asdict(r) for r in results]
     print(results_table(rows, [
         "case", "kernel", "valid", "max_err", "mean_s",
