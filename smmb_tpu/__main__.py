@@ -1,4 +1,4 @@
-"""CLI: ``python -m smmb_tpu {showcase,sweep,scaling,headline}``.
+"""CLI: ``python -m smmb_tpu {showcase,sweep,scaling,mlp,headline}``.
 
 The L5 automation surface (reference: ./benchmark.sh + parse-out2csv.sh +
 performance.py, SURVEY.md §3.5) as one entry point.
@@ -18,6 +18,10 @@ def main():
         from smmb_tpu.bench.sweep import main as sweep_main
 
         sweep_main([mode] + rest)
+    elif mode == "mlp":
+        from smmb_tpu.bench.mlp_bench import main as mlp_main
+
+        mlp_main(rest)
     elif mode == "scaling":
         from smmb_tpu.bench.scaling import main as scaling_main
 

@@ -191,14 +191,27 @@ def run_case(
     for name, fn, args, work in kernels:
         import sys as _sys
         oracle = ref_prelu if "prelu" in name else ref
-        y = np.asarray(fn(*args))
         if "bf16" in name:
             tol = 0.01 * max(1.0, float(np.abs(oracle).max()))
         elif "w2a8" in name:
             tol = 0.03 * max(1.0, float(np.abs(oracle).max()))
         else:
             tol = TOL_DENSE
-        cmp = compare(y, oracle, tol)
+        try:
+            y = np.asarray(fn(*args))
+            cmp = compare(y, oracle, tol)
+        except Exception as e:  # device/compile fault must not kill the run
+            print(
+                f"[{case}] {name}: ERROR {type(e).__name__}: "
+                f"{str(e)[:120]}",
+                file=_sys.stderr,
+                flush=True,
+            )
+            out.append(
+                CaseResult(case, name, False, float("inf"), float("nan"),
+                           work, 0.0, 0.0, 0.0)
+            )
+            continue
         if validate and not cmp.ok:
             out.append(
                 CaseResult(case, name, False, cmp.max_abs_err, float("nan"),
@@ -206,7 +219,20 @@ def run_case(
             )
             print(_progress_row(out[-1]), file=_sys.stderr, flush=True)
             continue
-        meas = measure_device(fn, *args, iters=iters, reps=reps)
+        try:
+            meas = measure_device(fn, *args, iters=iters, reps=reps)
+        except Exception as e:
+            print(
+                f"[{case}] {name}: MEASURE ERROR {type(e).__name__}: "
+                f"{str(e)[:120]}",
+                file=_sys.stderr,
+                flush=True,
+            )
+            out.append(
+                CaseResult(case, name, True, cmp.max_abs_err, float("nan"),
+                           work, 0.0, 0.0, 0.0)
+            )
+            continue
         t_best = meas.min_s  # quiet-window capability (see measure_device)
         wb = (
             p.weight_bytes()

@@ -66,3 +66,17 @@ def test_autotune_cache(tmp_path, monkeypatch):
     # second call hits the cache (no measurement)
     cfg2 = autotune.autotune_packed_spmm(4, 512, 256, jnp.float32)
     assert cfg2 == cfg
+
+
+def test_mlp_bench_cpu():
+    from smmb_tpu.bench.mlp_bench import run_mlp_bench
+
+    r = run_mlp_bench(
+        depth=2, dim=512, batch=8, non_zero=2, reps=2, use_kernel=False
+    )
+    assert r.mean_s > 0 and r.rows_per_s > 0 and r.nnz_per_s > 0
+    r2 = run_mlp_bench(
+        depth=2, dim=1024, batch=8, non_zero=2, reps=2,
+        mesh_shape=(1, 2), use_kernel=False,
+    )
+    assert "mesh" in r2.label and r2.mean_s > 0
