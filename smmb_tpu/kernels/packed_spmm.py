@@ -144,8 +144,22 @@ def packed_spmm(
         large batches with 512x512 tiles (v5e sweep, docs/DESIGN.md).
         block_k must be a multiple of 512 (the packed group size).
     Returns:
-      (M, N) in x.dtype.
+      (M, N) in x.dtype (leading batch dims of a >2D x are preserved).
     """
+    if x.ndim > 2:
+        lead = x.shape[:-1]
+        y = packed_spmm(
+            x.reshape(-1, x.shape[-1]),
+            w,
+            b,
+            alpha,
+            compute_dtype=compute_dtype,
+            block_m=block_m,
+            block_n=block_n,
+            block_k=block_k,
+            interpret=interpret,
+        )
+        return y.reshape(*lead, y.shape[-1])
     m, k = x.shape
     if block_m is None:
         block_m = 256

@@ -222,3 +222,14 @@ def test_pack_with_transpose_validation():
     wp, wtp = pack_with_transpose(w)
     with pytest.raises(ValueError):
         make_packed_linear(wp, wp)  # not a transpose
+
+
+def test_packed_spmm_nd_input():
+    # (batch, seq, features) activations flow through with dims preserved
+    x3, w, b = _setup(18, 12, 512, 256)
+    x3 = x3.reshape(3, 4, 512)
+    ref = gemm(x3.reshape(-1, 512), jnp.asarray(w), b).reshape(3, 4, 256)
+    p = pack_ternary(w)
+    y = packed_spmm(x3, p, b, block_m=32, block_n=256)
+    assert y.shape == (3, 4, 256)
+    assert_close(y, ref, TOL_DENSE, "3D input")
