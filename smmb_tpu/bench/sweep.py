@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -189,7 +190,6 @@ def run_case(
 
     out = []
     for name, fn, args, work in kernels:
-        import sys as _sys
         oracle = ref_prelu if "prelu" in name else ref
         if "bf16" in name:
             tol = 0.01 * max(1.0, float(np.abs(oracle).max()))
@@ -204,7 +204,7 @@ def run_case(
             print(
                 f"[{case}] {name}: ERROR {type(e).__name__}: "
                 f"{str(e)[:120]}",
-                file=_sys.stderr,
+                file=sys.stderr,
                 flush=True,
             )
             out.append(
@@ -217,7 +217,7 @@ def run_case(
                 CaseResult(case, name, False, cmp.max_abs_err, float("nan"),
                            work, 0.0, 0.0, 0.0)
             )
-            print(_progress_row(out[-1]), file=_sys.stderr, flush=True)
+            print(_progress_row(out[-1]), file=sys.stderr, flush=True)
             continue
         try:
             meas = measure_device(fn, *args, iters=iters, reps=reps)
@@ -225,7 +225,7 @@ def run_case(
             print(
                 f"[{case}] {name}: MEASURE ERROR {type(e).__name__}: "
                 f"{str(e)[:120]}",
-                file=_sys.stderr,
+                file=sys.stderr,
                 flush=True,
             )
             out.append(
@@ -260,7 +260,7 @@ def run_case(
                 sol / t_best,
             )
         )
-        print(_progress_row(out[-1]), file=_sys.stderr, flush=True)
+        print(_progress_row(out[-1]), file=sys.stderr, flush=True)
     return out
 
 

@@ -96,8 +96,7 @@ def sharded_spmm_column(
 ) -> jax.Array:
     """Column-parallel ``Y = prelu(X·W + B)``: Y comes back sharded
     (data, model); no forward collective."""
-    zero_b = b is None
-    if zero_b:
+    if b is None:
         b = jnp.zeros((w.cols,), jnp.float32)
 
     def body(x_l, data_l, b_l):
@@ -135,8 +134,7 @@ def sharded_spmm_row(
     """Row(K)-parallel SpMM: X arrives feature-sharded on the model axis
     (as produced by a preceding column-parallel layer), partial products are
     ``psum``-combined over ICI, epilogue applied after the reduction."""
-    zero_b = b is None
-    if zero_b:
+    if b is None:
         b = jnp.zeros((w.cols,), jnp.float32)
     nshard = _model_size(mesh)
     rows_local = w.padded_rows // nshard
