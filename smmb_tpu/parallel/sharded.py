@@ -57,10 +57,11 @@ def shard_packed_columns(w: TernaryPacked, mesh: Mesh) -> TernaryPacked:
 def shard_packed_rows(w: TernaryPacked, mesh: Mesh) -> TernaryPacked:
     """Place the packed planes row(K)-sharded over the model axis."""
     nshard = _model_size(mesh)
-    if (w.padded_rows // GROUP_ROWS) % nshard:
+    if w.rows != w.padded_rows or (w.rows // GROUP_ROWS) % nshard:
         raise ValueError(
-            f"padded K={w.padded_rows} must contain a multiple of "
-            f"model={nshard} packed groups ({GROUP_ROWS} rows each)"
+            f"K={w.rows} must be an exact multiple of model={nshard} packed "
+            f"groups ({GROUP_ROWS} rows each) — row shards must align with "
+            "the K-chunks of the sharded activations"
         )
     sh = NamedSharding(mesh, P(MODEL_AXIS, None))
     return TernaryPacked(
