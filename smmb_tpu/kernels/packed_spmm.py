@@ -50,7 +50,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(*refs, nk, alpha, compute_dtype):
+def _kernel(*refs, nk, alpha, compute_dtype, decode):
     quant = compute_dtype == jnp.int8
     if quant:
         x_ref, w_ref, b_ref, s_ref, o_ref, acc_ref = refs
@@ -77,14 +77,30 @@ def _kernel(*refs, nk, alpha, compute_dtype):
     groups = w_ref.shape[0] // SUB
     acc = acc_ref[:]
     for gi in range(groups):
-        # int32 lane ops: Mosaic does not legalize int8 vector shifts
-        # (arith.shli on vector<..xi8>), so decode in 32-bit registers.
-        block = w_ref[gi * SUB : (gi + 1) * SUB, :].astype(jnp.int32)
+        wb = w_ref[gi * SUB : (gi + 1) * SUB, :]
+        if decode == "cmp":
+            # no-shift decode: bitmask tests + selects stay at int8 vreg
+            # granularity (4× the elements per op of the int32 path);
+            # Mosaic legalizes int8 and/compare but not int8 shifts
+            one = jnp.ones((), compute_dtype)
+            vals = (-one, one, jnp.zeros((), compute_dtype))
+        else:
+            block = wb.astype(jnp.int32)
         for i in range(VALUES_PER_BYTE):
             # plane i of group gi = logical rows [base, base + SUB);
-            # sign-extend bits 2i..2i+1: (w << (30-2i)) >> 30. One MXU dot
-            # per decoded plane (K=SUB=128) — no sublane concat/copy.
-            plane = ((block << (30 - 2 * i)) >> 30).astype(compute_dtype)
+            # one MXU dot per decoded plane (K=SUB=128) — no concat/copy
+            if decode == "cmp":
+                # masks wrapped into int8 range (bit 7 ⇒ -128)
+                m1 = ((1 << (2 * i)) + 128) % 256 - 128
+                m2 = ((2 << (2 * i)) + 128) % 256 - 128
+                presence = (wb & jnp.int8(m1)) != 0
+                sign = (wb & jnp.int8(m2)) != 0
+                plane = jnp.where(
+                    presence, jnp.where(sign, vals[0], vals[1]), vals[2]
+                )
+            else:
+                # sign-extend bits 2i..2i+1: (w << (30-2i)) >> 30
+                plane = ((block << (30 - 2 * i)) >> 30).astype(compute_dtype)
             base = gi * GROUP_ROWS + i * SUB
             acc += jnp.dot(
                 x[:, base : base + SUB],
@@ -114,6 +130,7 @@ def _kernel(*refs, nk, alpha, compute_dtype):
         "block_n",
         "block_k",
         "interpret",
+        "decode",
     ),
 )
 def packed_spmm(
@@ -127,6 +144,7 @@ def packed_spmm(
     block_n: int | None = None,
     block_k: int | None = None,
     interpret: bool | None = None,
+    decode: str = "shift",
 ) -> jax.Array:
     """``Y = prelu(X @ W + B, alpha)`` with 2-bit packed ternary W.
 
@@ -158,6 +176,7 @@ def packed_spmm(
             block_n=block_n,
             block_k=block_k,
             interpret=interpret,
+            decode=decode,
         )
         return y.reshape(*lead, y.shape[-1])
     m, k = x.shape
@@ -230,7 +249,11 @@ def packed_spmm(
 
     out = pl.pallas_call(
         functools.partial(
-            _kernel, nk=nk, alpha=alpha, compute_dtype=compute_dtype
+            _kernel,
+            nk=nk,
+            alpha=alpha,
+            compute_dtype=compute_dtype,
+            decode=decode,
         ),
         grid=(nm, nn, nk),
         in_specs=in_specs,
