@@ -264,10 +264,10 @@ def run_case(
     return out
 
 
-def run_showcase(**kw) -> list[CaseResult]:
+def run_showcase(cases=None, **kw) -> list[CaseResult]:
     """The main.cpp showcase: fixed case list at 50% density."""
     results = []
-    for m, k, n in SHOWCASE_CASES:
+    for m, k, n in cases or SHOWCASE_CASES:
         results += run_case(m, k, n, non_zero=2, **kw)
     return results
 
@@ -310,11 +310,23 @@ def main(argv=None):
         "--kernels", default=None,
         help="comma-separated kernel-name filter (default: all)",
     )
+    ap.add_argument(
+        "--cases", default=None,
+        help="semicolon-separated MxKxN case filter, e.g. '1x1024x4096;64x1024x4096'",
+    )
     args = ap.parse_args(argv)
 
-    run = run_showcase if args.mode == "showcase" else run_sweep
     kf = tuple(args.kernels.split(",")) if args.kernels else None
-    results = run(iters=args.iters, reps=args.reps, kernel_filter=kf)
+    kw = dict(iters=args.iters, reps=args.reps, kernel_filter=kf)
+    if args.mode == "showcase":
+        cases = (
+            [tuple(int(v) for v in c.split("x")) for c in args.cases.split(";")]
+            if args.cases
+            else None
+        )
+        results = run_showcase(cases=cases, **kw)
+    else:
+        results = run_sweep(**kw)
     rows = [dataclasses.asdict(r) for r in results]
     print(results_table(rows, [
         "case", "kernel", "valid", "max_err", "mean_s",
