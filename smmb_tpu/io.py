@@ -83,3 +83,23 @@ def load_packed_mlp(path: str) -> dict:
         )
         out["b"].append(jnp.asarray(z[f"b{i}"]))
     return out
+
+
+def save_params(path: str, params: dict) -> None:
+    """Save an MLP master-weight pytree ({'w': [...], 'b': [...]}) — the
+    training-side checkpoint counterpart of save_packed_mlp."""
+    arrays = {}
+    for i, (w, b) in enumerate(zip(params["w"], params["b"])):
+        arrays[f"w{i}"] = np.asarray(w)
+        arrays[f"b{i}"] = np.asarray(b)
+    arrays["n_layers"] = np.array(len(params["w"]))
+    np.savez(path, **arrays)
+
+
+def load_params(path: str) -> dict:
+    z = np.load(path)
+    n = int(z["n_layers"])
+    return {
+        "w": [jnp.asarray(z[f"w{i}"]) for i in range(n)],
+        "b": [jnp.asarray(z[f"b{i}"]) for i in range(n)],
+    }

@@ -90,3 +90,15 @@ def test_convert_nested_tree(key):
     assert "packed_kernel" in out["layers_0"]
     assert "kernel_scale" in out["layers_0"]
     np.testing.assert_array_equal(np.asarray(out["other"]["stats"]), 1.0)
+
+
+def test_save_load_params(tmp_path, key):
+    cfg = TernaryMLPConfig(layer_dims=(32, 64, 32))
+    params = init_mlp(key, cfg)
+    path = str(tmp_path / "params.npz")
+    smio.save_params(path, params)
+    back = smio.load_params(path)
+    for a, b in zip(params["w"], back["w"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(params["b"], back["b"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
