@@ -81,9 +81,11 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
         if decode == "cmp":
             # no-shift decode: bitmask tests + selects stay at int8 vreg
             # granularity (4× the elements per op of the int32 path);
-            # Mosaic legalizes int8 and/compare but not int8 shifts
-            one = jnp.ones((), compute_dtype)
-            vals = (-one, one, jnp.zeros((), compute_dtype))
+            # Mosaic legalizes int8 and/compare but not int8 shifts. The
+            # selects also stay int8 — i1 masks cannot relayout to the
+            # 16-bit tiling a bf16 select would need — with one int8→dtype
+            # convert at the end.
+            vals = (jnp.int8(-1), jnp.int8(1), jnp.int8(0))
         else:
             block = wb.astype(jnp.int32)
         for i in range(VALUES_PER_BYTE):
@@ -97,7 +99,7 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
                 sign = (wb & jnp.int8(m2)) != 0
                 plane = jnp.where(
                     presence, jnp.where(sign, vals[0], vals[1]), vals[2]
-                )
+                ).astype(compute_dtype)
             else:
                 # sign-extend bits 2i..2i+1: (w << (30-2i)) >> 30
                 plane = ((block << (30 - 2 * i)) >> 30).astype(compute_dtype)
@@ -147,6 +149,10 @@ def packed_spmm(
     decode: str = "shift",
 ) -> jax.Array:
     """``Y = prelu(X @ W + B, alpha)`` with 2-bit packed ternary W.
+
+    ``decode="cmp"`` (int8 bitmask tests instead of int32 shifts) is
+    interpret-validated but hits a pathological multi-minute Mosaic compile
+    on v5e — keep the default "shift" in production (docs/ROADMAP.md #1).
 
     Args:
       x: (M, K) activations, float32 or bfloat16.
