@@ -56,7 +56,7 @@ def main():
             return packed_spmm(x, w_, b, compute_dtype=jnp.bfloat16)
         return packed_spmm_jnp(x, w_, b, dtype=jnp.float32)
 
-    meas = measure_device(run, x, p.data, b, reps=8)
+    meas = measure_device(run, x, p.data, b, iters=4096, reps=8)
 
     spec = chip_spec()
     flops = 2.0 * M * N * K  # MXU executes the dense product post-decode
