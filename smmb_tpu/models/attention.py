@@ -1,0 +1,132 @@
+"""Ternary attention block (net-new model family).
+
+The reference's workload is MLP-only (SURVEY.md §5); serving ternary-weight
+transformers additionally needs attention with packed projections. This block
+keeps all four projections (Q, K, V, out) in the 2-bit ``TernaryPacked``
+format through the Pallas kernel — attention math itself (scores, softmax,
+weighted sum) is dense XLA, which is already MXU/fusion-optimal.
+
+Parameter layout mirrors models/mlp.py: dense float ternary masters
+(trainable via STE) → ``pack_attention`` → packed serving form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from smmb_tpu.formats.packed import pack_ternary_device
+from smmb_tpu.kernels.packed_spmm import packed_spmm
+from smmb_tpu.models.train import absmean_scale, ternarize_ste
+from smmb_tpu.ops.spmm import packed_spmm_jnp
+from smmb_tpu.utils import rng
+
+
+@dataclasses.dataclass(frozen=True)
+class TernaryAttentionConfig:
+    d_model: int
+    n_heads: int
+    causal: bool = True
+    non_zero: int = 2  # expected weight density 1/non_zero
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+
+_PROJS = ("wq", "wk", "wv", "wo")
+
+
+def init_attention(key: jax.Array, cfg: TernaryAttentionConfig) -> dict:
+    """Ternary projection masters + biases (reference distributions)."""
+    if cfg.d_model % cfg.n_heads:
+        raise ValueError(f"d_model {cfg.d_model} % n_heads {cfg.n_heads}")
+    params = {}
+    for name in _PROJS:
+        key, kw, kb = jax.random.split(key, 3)
+        params[name] = rng.rand_ternary(
+            kw, (cfg.d_model, cfg.d_model), non_zero=cfg.non_zero
+        )
+        params[name.replace("w", "b")] = rng.rand_dense(kb, (cfg.d_model,))
+    return params
+
+
+def pack_attention(params: dict) -> dict:
+    """Masters → 2-bit packed serving form (biases pass through)."""
+    out = {}
+    for name in _PROJS:
+        out[name] = pack_ternary_device(params[name])
+        bname = name.replace("w", "b")
+        out[bname] = params[bname]
+    return out
+
+
+def _attention_math(q, k, v, cfg: TernaryAttentionConfig):
+    """(B, T, D) projections → multi-head scaled dot-product attention."""
+    b, t, d = q.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+
+    def split(x):
+        return x.reshape(b, t, h, hd).transpose(0, 2, 1, 3)  # (B, H, T, hd)
+
+    q, k, v = split(q), split(k), split(v)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(hd))
+    if cfg.causal:
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, d)
+
+
+def attention_forward(
+    packed: dict,
+    x: jax.Array,
+    cfg: TernaryAttentionConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+) -> jax.Array:
+    """Serving forward: packed projections around dense attention math.
+
+    x: (B, T, d_model). All four projections stream 2-bit planes.
+    """
+
+    def proj(name, inp):
+        w, b = packed[name], packed[name.replace("w", "b")]
+        if use_kernel:
+            return packed_spmm(inp, w, b, compute_dtype=compute_dtype)
+        flat = inp.reshape(-1, inp.shape[-1])
+        y = packed_spmm_jnp(flat, w, b, dtype=compute_dtype)
+        return y.reshape(*inp.shape[:-1], y.shape[-1])
+
+    q = proj("wq", x)
+    k = proj("wk", x)
+    v = proj("wv", x)
+    att = _attention_math(q, k, v, cfg)
+    return proj("wo", att)
+
+
+def qat_attention_forward(
+    params: dict, x: jax.Array, cfg: TernaryAttentionConfig
+) -> jax.Array:
+    """Training forward: STE-ternarized dense projections (differentiable),
+    mirroring the serving math like models/train.qat_forward."""
+
+    def proj(name, inp):
+        w = params[name]
+        wq = ternarize_ste(w) * absmean_scale(w)
+        return (
+            jnp.dot(inp, wq, preferred_element_type=jnp.float32)
+            + params[name.replace("w", "b")]
+        )
+
+    q = proj("wq", x)
+    k = proj("wk", x)
+    v = proj("wv", x)
+    att = _attention_math(q, k, v, cfg)
+    return proj("wo", att)
