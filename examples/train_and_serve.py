@@ -25,7 +25,7 @@ from smmb_tpu.models.mlp import (
     mlp_forward,
     pack_mlp,
 )
-from smmb_tpu.models.train import make_train_step, ternarize_ste
+from smmb_tpu.models.train import make_train_step
 from smmb_tpu.utils import rng
 
 
@@ -53,12 +53,8 @@ def main():
         if i % 10 == 0:
             print(f"step {i:3d}  loss {float(loss):.5f}")
 
-    # ----- convert: ternarize masters -> 2-bit packed serving weights
-    tern = {
-        "w": [ternarize_ste(w) for w in params["w"]],
-        "b": params["b"],
-    }
-    packed = pack_mlp(tern)
+    # ----- convert: QAT rule (absmean scale x ternarized masters) -> packed
+    packed = pack_mlp(params, quantize=True)
     for i, w in enumerate(packed["w"]):
         print(
             f"layer {i}: packed {w.data.shape} int8 "

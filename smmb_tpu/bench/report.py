@@ -45,16 +45,19 @@ def results_table(rows: list[dict], columns: list[str] | None = None) -> str:
 def speedup_analysis(rows: list[dict], baseline_kernel: str = "dense") -> str:
     """Speedup-vs-baseline summary (the /root/reference/main.cpp:230-250
     "PERFORMANCE ANALYSIS" block). Expects 'kernel' and 'mean_s' keys."""
+    def t(r):
+        return r.get("time_s", r.get("mean_s"))
+
     base = [r for r in rows if r.get("kernel") == baseline_kernel]
     if not base:
         return "(no baseline row)"
-    t0 = base[0]["mean_s"]
+    t0 = t(base[0])
     lines = ["speedup vs " + baseline_kernel + ":"]
     for r in rows:
         if r.get("kernel") == baseline_kernel:
             continue
         lines.append(
-            f"  {r['kernel']:<28s} {t0 / r['mean_s']:6.2f}x"
+            f"  {r['kernel']:<28s} {t0 / t(r):6.2f}x"
         )
     return "\n".join(lines)
 

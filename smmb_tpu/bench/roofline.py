@@ -43,11 +43,10 @@ def chip_spec(device=None) -> ChipSpec:
     plat = getattr(device, "platform", "").lower()
     if plat != "tpu" and "tpu" not in kind:
         return _SPECS["cpu"]
+    norm = kind.replace(" ", "").replace("lite", "e")  # "v5 lite" → v5e
     for tag, spec in _SPECS.items():
-        if tag in kind.replace(" ", "").replace("lite", "e"):
+        if tag in norm:
             return spec
-    if "v5lite" in kind.replace(" ", "") or "v5 lite" in kind:
-        return _SPECS["v5e"]
     return _SPECS["v5e"]  # conservative default for unknown TPU kinds
 
 

@@ -69,94 +69,136 @@ class CaseResult:
     kernel: str
     valid: bool
     max_err: float
-    mean_s: float
+    time_s: float  # quiet-window best per-call time (measure_device.min_s)
     flops: int
     eff_flops_per_s: float
     nnz_per_s: float
     frac_roofline: float
 
 
-def _kernels_for_case(x, w_np, b, use_pallas: bool):
-    """(name, fn, args, work_flops) kernel registry for one case."""
+def _kernels_for_case(x, w_np, b, use_pallas: bool, kernel_filter=None):
+    """(name, fn, args, work_flops, weight_bytes) registry for one case.
+
+    Formats are only constructed for kernels that survive ``kernel_filter``
+    (host-side conversions are O(K·N) scans worth skipping).
+    """
+
+    def wanted(*names):
+        return kernel_filter is None or any(
+            n_ in kernel_filter for n_ in names
+        )
+
     w = jnp.asarray(w_np)
-    t = tcsc_from_dense(w_np)
-    p = pack_ternary(w_np)
     m, k = x.shape
     n = w_np.shape[1]
-    nnz = t.nnz
+    nnz = int(np.count_nonzero(w_np))
     dense_f = dense_flops(m, n, k)
     sparse_f = sparse_flops(m, n, nnz)
+    dense_bytes = 4 * k * n
+    t = (
+        tcsc_from_dense(w_np)
+        if wanted("tcsc_segsum", "tcsc_segsum_prelu")
+        else None
+    )
+    p = (
+        pack_ternary(w_np)
+        if wanted(
+            "packed_jnp",
+            "packed_kernel",
+            "packed_kernel_prelu",
+            "packed_kernel_bf16",
+            "packed_kernel_w2a8",
+        )
+        else None
+    )
 
     kernels = [
-        ("dense", jax.jit(lambda x, w, b: gemm(x, w, b)), (x, w, b), dense_f),
+        ("dense", jax.jit(lambda x, w, b: gemm(x, w, b)), (x, w, b),
+         dense_f, dense_bytes),
         (
             "dense_prelu",
             jax.jit(lambda x, w, b: gemm_prelu(x, w, b, ALPHA)),
             (x, w, b),
             dense_f + m * n,
-        ),
-        (
-            "tcsc_segsum",
-            jax.jit(lambda x, t, b: tcsc_spmm(x, t, b)),
-            (x, t, b),
-            sparse_f,
-        ),
-        (
-            "tcsc_segsum_prelu",
-            jax.jit(lambda x, t, b: tcsc_spmm_prelu(x, t, b, ALPHA)),
-            (x, t, b),
-            sparse_f + m * n,
-        ),
-        (
-            "packed_jnp",
-            jax.jit(lambda x, p, b: packed_spmm_jnp(x, p, b)),
-            (x, p, b),
-            sparse_f,
+            dense_bytes,
         ),
     ]
-    if use_pallas:
+    if t is not None:
         kernels += [
             (
-                "packed_kernel",
-                lambda x, p, b: packed_spmm(x, p, b),
-                (x, p, b),
+                "tcsc_segsum",
+                jax.jit(lambda x, t, b: tcsc_spmm(x, t, b)),
+                (x, t, b),
                 sparse_f,
+                t.index_bytes(),
             ),
             (
-                "packed_kernel_prelu",
-                lambda x, p, b: packed_spmm(x, p, b, alpha=ALPHA),
-                (x, p, b),
+                "tcsc_segsum_prelu",
+                jax.jit(lambda x, t, b: tcsc_spmm_prelu(x, t, b, ALPHA)),
+                (x, t, b),
                 sparse_f + m * n,
-            ),
-            (
-                "packed_kernel_bf16",
-                lambda x, p, b: packed_spmm(
-                    x, p, b, compute_dtype=jnp.bfloat16
-                ),
-                (x, p, b),
-                sparse_f,
-            ),
-            (
-                "packed_kernel_w2a8",
-                lambda x, p, b: packed_spmm(
-                    x, p, b, compute_dtype=jnp.int8
-                ),
-                (x, p, b),
-                sparse_f,
+                t.index_bytes(),
             ),
         ]
-    if m % 8 == 0 or m == 1:  # BCSR needs divisible blocks
-        if k % 8 == 0 and n % 8 == 0:
-            bm = bcsr_from_dense(w_np, 8, 8)
-            kernels.append(
-                (
-                    "bcsr",
-                    jax.jit(lambda x, bm, b: bcsr_spmm(x, bm, b)),
-                    (x, bm, b),
-                    sparse_f,
-                )
+    if p is not None:
+        kernels.append(
+            (
+                "packed_jnp",
+                jax.jit(lambda x, p, b: packed_spmm_jnp(x, p, b)),
+                (x, p, b),
+                sparse_f,
+                p.weight_bytes(),
             )
-    return kernels, nnz, p
+        )
+        if use_pallas:
+            kernels += [
+                (
+                    "packed_kernel",
+                    lambda x, p, b: packed_spmm(x, p, b),
+                    (x, p, b),
+                    sparse_f,
+                    p.weight_bytes(),
+                ),
+                (
+                    "packed_kernel_prelu",
+                    lambda x, p, b: packed_spmm(x, p, b, alpha=ALPHA),
+                    (x, p, b),
+                    sparse_f + m * n,
+                    p.weight_bytes(),
+                ),
+                (
+                    "packed_kernel_bf16",
+                    lambda x, p, b: packed_spmm(
+                        x, p, b, compute_dtype=jnp.bfloat16
+                    ),
+                    (x, p, b),
+                    sparse_f,
+                    p.weight_bytes(),
+                ),
+                (
+                    "packed_kernel_w2a8",
+                    lambda x, p, b: packed_spmm(
+                        x, p, b, compute_dtype=jnp.int8
+                    ),
+                    (x, p, b),
+                    sparse_f,
+                    p.weight_bytes(),
+                ),
+            ]
+    if wanted("bcsr") and k % 8 == 0 and n % 8 == 0:
+        bm = bcsr_from_dense(w_np, 8, 8)
+        kernels.append(
+            (
+                "bcsr",
+                jax.jit(lambda x, bm, b: bcsr_spmm(x, bm, b)),
+                (x, bm, b),
+                sparse_f,
+                bm.value_bytes(),
+            )
+        )
+    if kernel_filter:
+        kernels = [k_ for k_ in kernels if k_[0] in kernel_filter]
+    return kernels, nnz
 
 
 def run_case(
@@ -179,9 +221,9 @@ def run_case(
     x = rng.rand_dense(kx, (m, k))
     w_np = np.asarray(rng.rand_ternary(kw, (k, n), non_zero=non_zero))
     b = rng.rand_dense(kb, (n,))
-    kernels, nnz, p = _kernels_for_case(x, w_np, b, use_pallas)
-    if kernel_filter:
-        kernels = [k_ for k_ in kernels if k_[0] in kernel_filter]
+    kernels, nnz = _kernels_for_case(
+        x, w_np, b, use_pallas, kernel_filter
+    )
 
     ref = np.asarray(gemm(x, jnp.asarray(w_np), b))
     ref_prelu = np.asarray(gemm_prelu(x, jnp.asarray(w_np), b, ALPHA))
@@ -189,7 +231,7 @@ def run_case(
     case = f"{m}x{k}x{n}@{1 / non_zero:.2f}"
 
     out = []
-    for name, fn, args, work in kernels:
+    for name, fn, args, work, wbytes in kernels:
         oracle = ref_prelu if "prelu" in name else ref
         if "bf16" in name:
             tol = 0.01 * max(1.0, float(np.abs(oracle).max()))
@@ -234,12 +276,7 @@ def run_case(
             )
             continue
         t_best = meas.min_s  # quiet-window capability (see measure_device)
-        wb = (
-            p.weight_bytes()
-            if name.startswith(("packed", "tcsc"))
-            else 4 * k * n
-        )
-        byt = spmm_bytes(m, n, k, weight_bytes=wb)
+        byt = spmm_bytes(m, n, k, weight_bytes=wbytes)
         mm_flops = 2.0 * m * n * k  # what the MXU actually executes
         sol = roofline_time_s(
             mm_flops,
@@ -276,7 +313,7 @@ def _progress_row(r: CaseResult) -> str:
     return (
         f"[{r.case}] {r.kernel:<22s} "
         + (
-            f"t={r.mean_s * 1e6:9.1f}us frac={r.frac_roofline:5.2f} "
+            f"t={r.time_s * 1e6:9.1f}us frac={r.frac_roofline:5.2f} "
             f"err={r.max_err:.1e}"
             if r.valid
             else f"INVALID err={r.max_err:.3e}"
@@ -329,7 +366,7 @@ def main(argv=None):
         results = run_sweep(**kw)
     rows = [dataclasses.asdict(r) for r in results]
     print(results_table(rows, [
-        "case", "kernel", "valid", "max_err", "mean_s",
+        "case", "kernel", "valid", "max_err", "time_s",
         "eff_flops_per_s", "nnz_per_s", "frac_roofline",
     ]))
     for case in {r.case for r in results}:

@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from smmb_tpu.utils.shapes import round_up
+
 VALUES_PER_BYTE = 4
 SUB = 128  # packed rows per group (= TPU lane count, sublane-concat friendly)
 GROUP_ROWS = VALUES_PER_BYTE * SUB  # 512 logical rows per group
@@ -78,10 +80,6 @@ class TernaryPacked:
         return int(self.data.shape[0]) * int(self.data.shape[1])
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
 def _pack_groups(t):
     """(K_pad, N) int8 ternary → (K_pad//4, N) packed words (jnp or numpy)."""
     xp = jnp if isinstance(t, jax.Array) else np
@@ -111,7 +109,7 @@ def pack_ternary(w) -> TernaryPacked:
     t[w == 1.0] = 1
     t[w == -1.0] = -1
     nnz = int(np.count_nonzero(t))
-    pad_rows = _round_up(max(rows, 1), GROUP_ROWS)
+    pad_rows = round_up(max(rows, 1), GROUP_ROWS)
     if pad_rows != rows:
         t = np.concatenate([t, np.zeros((pad_rows - rows, cols), np.int8)])
     return TernaryPacked(
@@ -128,7 +126,7 @@ def pack_ternary_device(t: jax.Array, nnz: int = -1) -> TernaryPacked:
     """
     rows, cols = t.shape
     ti = t.astype(jnp.int8)
-    pad_rows = _round_up(max(rows, 1), GROUP_ROWS)
+    pad_rows = round_up(max(rows, 1), GROUP_ROWS)
     if pad_rows != rows:
         ti = jnp.concatenate([ti, jnp.zeros((pad_rows - rows, cols), jnp.int8)])
     return TernaryPacked(data=_pack_groups(ti), rows=rows, cols=cols, nnz=nnz)

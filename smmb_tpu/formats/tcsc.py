@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from smmb_tpu.utils.shapes import round_up
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -143,10 +145,6 @@ class TCSCPadded:
     pad_neg: int
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
-
-
 def tcsc_pad_columns(t: TCSC, multiple: int = 8) -> TCSCPadded:
     """TCSC → padded per-column index matrices (host-side transform)."""
     out = {}
@@ -156,7 +154,7 @@ def tcsc_pad_columns(t: TCSC, multiple: int = 8) -> TCSCPadded:
     ):
         counts = np.diff(cs)
         pad = max(int(counts.max()) if len(counts) else 0, 1)
-        pad = _round_up(pad, multiple)
+        pad = round_up(pad, multiple)
         idx = np.full((t.cols, pad), t.rows, dtype=np.int32)  # sentinel = rows
         # scatter each column's slice into its padded row
         cols_rep = np.repeat(np.arange(t.cols), counts)

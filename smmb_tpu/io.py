@@ -60,12 +60,15 @@ def load(path: str):
 
 
 def save_packed_mlp(path: str, packed: dict) -> None:
-    """Save a pack_mlp() result ({'w': [TernaryPacked...], 'b': [...]})."""
+    """Save a pack_mlp() result ({'w': [TernaryPacked...], 'b': [...],
+    'scale': [...]})."""
     arrays = {}
-    for i, (w, b) in enumerate(zip(packed["w"], packed["b"])):
+    scales = packed.get("scale", [1.0] * len(packed["w"]))
+    for i, (w, b, s) in enumerate(zip(packed["w"], packed["b"], scales)):
         arrays[f"w{i}_data"] = np.asarray(w.data)
         arrays[f"w{i}_meta"] = np.array([w.rows, w.cols, w.nnz])
         arrays[f"b{i}"] = np.asarray(b)
+        arrays[f"s{i}"] = np.asarray(s, dtype=np.float32)
     arrays["n_layers"] = np.array(len(packed["w"]))
     np.savez(path, **arrays)
 
@@ -73,7 +76,7 @@ def save_packed_mlp(path: str, packed: dict) -> None:
 def load_packed_mlp(path: str) -> dict:
     z = np.load(path)
     n = int(z["n_layers"])
-    out = {"w": [], "b": []}
+    out = {"w": [], "b": [], "scale": []}
     for i in range(n):
         rows, cols, nnz = (int(v) for v in z[f"w{i}_meta"])
         out["w"].append(
@@ -82,6 +85,9 @@ def load_packed_mlp(path: str) -> dict:
             )
         )
         out["b"].append(jnp.asarray(z[f"b{i}"]))
+        out["scale"].append(
+            jnp.asarray(z[f"s{i}"]) if f"s{i}" in z.files else jnp.float32(1.0)
+        )
     return out
 
 

@@ -30,10 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from smmb_tpu.formats.bcsr import BCSR, bcsr_block_rows
 from smmb_tpu.kernels._compat import use_interpret
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from smmb_tpu.utils.shapes import round_up
 
 
 @functools.partial(
@@ -88,7 +85,7 @@ def bcsr_prepare(w: BCSR) -> BCSRPrepared:
 
 
 def _kernel(blk_row_ref, blk_col_ref, x_ref, v_ref, yin_ref, out_ref, *, alpha):
-    i = pl.program_id(0)
+    i = pl.program_id(1)  # block index (grid dim 0 tiles M)
     col = blk_col_ref[i]
     prev_col = blk_col_ref[jnp.maximum(i - 1, 0)]
     first = jnp.logical_or(i == 0, col != prev_col)
@@ -145,30 +142,32 @@ def bcsr_spmm_pallas(
     if w.k == 0:
         return y_init
 
-    bm = min(block_m, _round_up(m, 8))
-    mp = _round_up(m, bm)
+    bm = min(block_m, round_up(m, 8))
+    mp = round_up(m, bm)
     xq = jnp.pad(x, ((0, mp - m), (0, 0))) if mp != m else x
     yq = jnp.pad(y_init, ((0, mp - m), (0, 0))) if mp != m else y_init
 
+    # grid dim 0 tiles the batch (outer, so each M-tile walks all blocks in
+    # column-major order); dim 1 walks the stored blocks
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # blk_row, blk_col
-        grid=(w.k,),
+        grid=(mp // bm, w.k),
         in_specs=[
             pl.BlockSpec(
-                (bm, w.r), lambda i, br, bc: (0, br[i]),
+                (bm, w.r), lambda mi, i, br, bc: (mi, br[i]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, w.r, w.c), lambda i, br, bc: (i, 0, 0),
+                (1, w.r, w.c), lambda mi, i, br, bc: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (bm, w.c), lambda i, br, bc: (0, bc[i]),
+                (bm, w.c), lambda mi, i, br, bc: (mi, bc[i]),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (bm, w.c), lambda i, br, bc: (0, bc[i]),
+            (bm, w.c), lambda mi, i, br, bc: (mi, bc[i]),
             memory_space=pltpu.VMEM,
         ),
     )

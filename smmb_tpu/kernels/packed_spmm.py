@@ -44,10 +44,7 @@ from smmb_tpu.formats.packed import (
     TernaryPacked,
 )
 from smmb_tpu.kernels._compat import use_interpret
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from smmb_tpu.utils.shapes import round_up
 
 
 def _kernel(*refs, nk, alpha, compute_dtype, decode):
@@ -207,13 +204,13 @@ def packed_spmm(
     out_dtype = x.dtype
     # min sublane tile: int8 needs 32, bf16 16, f32 8
     sub_min = 32 if quant else (16 if compute_dtype == jnp.bfloat16 else 8)
-    bm = min(block_m, _round_up(m, sub_min))
-    bn = min(block_n, _round_up(n, 128))
+    bm = min(block_m, round_up(m, sub_min))
+    bn = min(block_n, round_up(n, 128))
     bk = min(block_k, kpad)
 
-    mp = _round_up(m, bm)
-    npad = _round_up(n, bn)
-    kq = _round_up(kpad, bk)
+    mp = round_up(m, bm)
+    npad = round_up(n, bn)
+    kq = round_up(kpad, bk)
 
     if quant:
         # W2A8 serving mode: per-row absmax quantization of activations;

@@ -72,7 +72,7 @@ def make_packed_linear(
             dx = packed_spmm(g, w_t, None, None, compute_dtype=compute_dtype)
         else:
             dx = packed_spmm_jnp(g, w_t, None, None, dtype=compute_dtype)
-        return dx, jnp.sum(g, axis=0)
+        return dx, jnp.sum(g.reshape(-1, g.shape[-1]), axis=0)
 
     fn.defvjp(fwd, bwd)
     return fn

@@ -53,11 +53,22 @@ def init_attention(key: jax.Array, cfg: TernaryAttentionConfig) -> dict:
     return params
 
 
-def pack_attention(params: dict) -> dict:
-    """Masters → 2-bit packed serving form (biases pass through)."""
+def pack_attention(params: dict, quantize: bool = False) -> dict:
+    """Masters → 2-bit packed serving form (biases pass through).
+
+    quantize=True applies the QAT rule (absmean scale × ternarized master,
+    matching qat_attention_forward); the scale folds into the activations
+    at serve time. quantize=False serves exact ternary masters as-is.
+    """
     out = {}
     for name in _PROJS:
-        out[name] = pack_ternary_device(params[name])
+        w = params[name]
+        if quantize:
+            out[name] = pack_ternary_device(ternarize_ste(w))
+            out[name + "_scale"] = absmean_scale(w)
+        else:
+            out[name] = pack_ternary_device(w)
+            out[name + "_scale"] = jnp.float32(1.0)
         bname = name.replace("w", "b")
         out[bname] = params[bname]
     return out
@@ -98,11 +109,13 @@ def attention_forward(
 
     def proj(name, inp):
         w, b = packed[name], packed[name.replace("w", "b")]
+        s = packed.get(name + "_scale")
+        if s is not None:
+            inp = inp * s  # QAT weight scale folded into activations
         if use_kernel:
             return packed_spmm(inp, w, b, compute_dtype=compute_dtype)
-        flat = inp.reshape(-1, inp.shape[-1])
-        y = packed_spmm_jnp(flat, w, b, dtype=compute_dtype)
-        return y.reshape(*inp.shape[:-1], y.shape[-1])
+        y = packed_spmm_jnp(inp, w, b, dtype=compute_dtype)
+        return y
 
     q = proj("wq", x)
     k = proj("wk", x)

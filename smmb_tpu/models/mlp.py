@@ -66,12 +66,35 @@ def init_mlp(key: jax.Array, cfg: TernaryMLPConfig) -> dict:
     return params
 
 
-def pack_mlp(params: dict) -> dict:
-    """Dense ternary master weights → packed serving weights."""
+def pack_mlp(params: dict, quantize: bool = False) -> dict:
+    """Master weights → packed serving weights.
+
+    quantize=False (parity semantics): masters are already exact ternary
+    matrices and are served as-is (per-layer scale 1).
+    quantize=True (QAT semantics): masters are fp32; the served weight is
+    ``absmean_scale(w) * ternarize(w)`` — exactly the effective weight
+    models/train.qat_forward trains with. The scalar scale is stored per
+    layer and folded into the activations at serve time (positive scaling
+    commutes with PReLU), keeping the packed planes value-free.
+    """
+    from smmb_tpu.models.train import absmean_scale, ternarize_ste
+
+    if quantize:
+        terns = [ternarize_ste(w) for w in params["w"]]
+        scales = [absmean_scale(w) for w in params["w"]]
+    else:
+        terns = list(params["w"])
+        scales = [jnp.float32(1.0) for _ in params["w"]]
     return {
-        "w": [pack_ternary_device(w) for w in params["w"]],
+        "w": [pack_ternary_device(t) for t in terns],
         "b": list(params["b"]),
+        "scale": scales,
     }
+
+
+def _layer_scales(packed: dict):
+    # packed dicts from before the quantize-aware format carry no scales
+    return packed.get("scale", [None] * len(packed["w"]))
 
 
 def mlp_forward(
@@ -83,7 +106,9 @@ def mlp_forward(
     use_kernel: bool = True,
 ) -> jax.Array:
     """Single-device forward through packed layers (PReLU fused per layer)."""
-    for w, b in zip(packed["w"], packed["b"]):
+    for w, b, s in zip(packed["w"], packed["b"], _layer_scales(packed)):
+        if s is not None:
+            x = x * s  # weight scale folded into activations (s > 0)
         if use_kernel:
             x = packed_spmm(
                 x, w, b, alpha=cfg.alpha, compute_dtype=compute_dtype
@@ -95,7 +120,7 @@ def mlp_forward(
 
 def shard_mlp(packed: dict, mesh) -> dict:
     """Place packed layers on the mesh: alternate column / row sharding."""
-    out = {"w": [], "b": []}
+    out = {"w": [], "b": [], "scale": list(_layer_scales(packed))}
     for i, (w, b) in enumerate(zip(packed["w"], packed["b"])):
         out["w"].append(
             shard_packed_columns(w, mesh)
@@ -123,8 +148,11 @@ def mlp_forward_sharded(
     column layer's output is gathered so the caller sees a replicated Y).
     """
     n = cfg.num_layers
+    scales = _layer_scales(packed)
     for i in range(n):
         w, b = packed["w"][i], packed["b"][i]
+        if scales[i] is not None:
+            x = x * scales[i]
         if i % 2 == 0:
             x = sharded_spmm_column(
                 x,

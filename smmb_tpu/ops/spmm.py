@@ -110,7 +110,13 @@ def packed_spmm_jnp(
     then one MXU matmul. Used as its oracle and as a solid fallback wherever
     Pallas is unavailable.
     """
-    k = x.shape[1]
+    if x.ndim > 2:
+        lead = x.shape[:-1]
+        y = packed_spmm_jnp(
+            x.reshape(-1, x.shape[-1]), w, b, alpha, dtype
+        )
+        return y.reshape(*lead, y.shape[-1])
+    k = x.shape[-1]
     wd = decode_words(w.data, dtype)[:k]
     precision = (
         jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None

@@ -56,7 +56,10 @@ def _lib() -> ctypes.CDLL | None:
         so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None  # stale/foreign .so: fall back to numpy paths
         i64, i32p, i64p = (
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32),

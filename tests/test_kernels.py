@@ -233,3 +233,17 @@ def test_packed_spmm_nd_input():
     y = packed_spmm(x3, p, b, block_m=32, block_n=256)
     assert y.shape == (3, 4, 256)
     assert_close(y, ref, TOL_DENSE, "3D input")
+
+
+def test_bcsr_pallas_large_batch():
+    # regression: M > block_m must tile the batch, not silently truncate
+    from smmb_tpu.formats.bcsr import bcsr_from_dense
+    from smmb_tpu.kernels.bcsr_spmm import bcsr_prepare, bcsr_spmm_pallas
+
+    w = _block_sparse_matrix(3, 256, 512, 8, 128)
+    bm = bcsr_from_dense(w, 8, 128)
+    prep = bcsr_prepare(bm)
+    x = rng.rand_dense(jax.random.PRNGKey(33), (140, 256))
+    ref = gemm(x, jnp.asarray(w))
+    y = bcsr_spmm_pallas(x, prep, None, block_m=64)
+    assert_close(y, ref, TOL_DENSE, "bcsr pallas M>block_m")

@@ -78,3 +78,41 @@ def test_train_step_reduces_loss(key):
 def test_absmean_scale_positive(key):
     w = rng.rand_dense(key, (16, 16))
     assert float(absmean_scale(w)) > 0
+
+
+def test_qat_serving_parity(key):
+    # regression: the served packed model must compute the same function the
+    # STE training forward optimizes (absmean scale must not be dropped)
+    from smmb_tpu.models.train import qat_forward
+
+    cfg = TernaryMLPConfig(layer_dims=(64, 128, 64))
+    kp, kx = jax.random.split(key)
+    params = init_mlp(kp, cfg)
+    params = {"w": [w * 0.7 + 0.05 for w in params["w"]], "b": params["b"]}
+    x = rng.rand_dense(kx, (8, 64))
+    trained = qat_forward(params, x, cfg.alpha)
+    packed = pack_mlp(params, quantize=True)
+    served = mlp_forward(packed, x, cfg, use_kernel=False)
+    tol = max(1e-4, 2e-6 * float(np.abs(np.asarray(trained)).max()))
+    assert_close(served, trained, tol, "QAT vs packed serving")
+
+
+def test_attention_qat_serving_parity(key):
+    from smmb_tpu.models.attention import (
+        TernaryAttentionConfig,
+        attention_forward,
+        init_attention,
+        pack_attention,
+        qat_attention_forward,
+    )
+
+    cfg = TernaryAttentionConfig(d_model=64, n_heads=2)
+    params = init_attention(key, cfg)
+    params = {k_: v * 0.6 + 0.02 for k_, v in params.items()}
+    x = rng.rand_dense(jax.random.PRNGKey(7), (2, 8, 64))
+    trained = qat_attention_forward(params, x, cfg)
+    served = attention_forward(
+        pack_attention(params, quantize=True), x, cfg, use_kernel=False
+    )
+    tol = max(1e-3, 1e-5 * float(np.abs(np.asarray(trained)).max()))
+    assert_close(served, trained, tol, "attention QAT vs serving")
