@@ -6,3 +6,15 @@ from smmb_tpu.models.mlp import (
     pack_mlp,
 )
 from smmb_tpu.models.train import make_train_step, ternarize_ste
+from smmb_tpu.models.attention import (
+    TernaryAttentionConfig,
+    attention_forward,
+    init_attention,
+    pack_attention,
+)
+from smmb_tpu.models.transformer import (
+    TernaryBlockConfig,
+    block_forward,
+    init_block,
+    pack_block,
+)

@@ -1,0 +1,124 @@
+"""Ternary transformer block: attention + MLP with residuals and RMSNorm.
+
+Completes the serving stack for ternary-weight transformer models: every
+matmul weight (QKV/out projections, MLP up/down) lives in the 2-bit packed
+format; norms and residuals are tiny elementwise work XLA fuses for free.
+RMSNorm (not LayerNorm) matches what ternary-LLM recipes train with.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from smmb_tpu.formats.packed import pack_ternary_device
+from smmb_tpu.kernels.packed_spmm import packed_spmm
+from smmb_tpu.models.attention import (
+    TernaryAttentionConfig,
+    _attention_math,
+    attention_forward,
+    init_attention,
+    pack_attention,
+)
+from smmb_tpu.models.train import absmean_scale, ternarize_ste
+from smmb_tpu.ops.dense import prelu
+from smmb_tpu.ops.spmm import packed_spmm_jnp
+from smmb_tpu.utils import rng
+
+
+@dataclasses.dataclass(frozen=True)
+class TernaryBlockConfig:
+    d_model: int
+    n_heads: int
+    d_ff: int
+    alpha: float = 0.2  # PReLU slope in the MLP
+    causal: bool = True
+    non_zero: int = 2
+    eps: float = 1e-6
+
+    @property
+    def attn(self) -> TernaryAttentionConfig:
+        return TernaryAttentionConfig(
+            d_model=self.d_model,
+            n_heads=self.n_heads,
+            causal=self.causal,
+            non_zero=self.non_zero,
+        )
+
+
+def rmsnorm(x: jax.Array, g: jax.Array, eps: float) -> jax.Array:
+    ms = jnp.mean(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+    return (x * jax.lax.rsqrt(ms + eps)).astype(x.dtype) * g
+
+
+def init_block(key: jax.Array, cfg: TernaryBlockConfig) -> dict:
+    ka, k1, k2, kb1, kb2 = jax.random.split(key, 5)
+    params = {
+        "attn": init_attention(ka, cfg.attn),
+        "w_up": rng.rand_ternary(
+            k1, (cfg.d_model, cfg.d_ff), non_zero=cfg.non_zero
+        ),
+        "b_up": rng.rand_dense(kb1, (cfg.d_ff,)),
+        "w_down": rng.rand_ternary(
+            k2, (cfg.d_ff, cfg.d_model), non_zero=cfg.non_zero
+        ),
+        "b_down": rng.rand_dense(kb2, (cfg.d_model,)),
+        "norm1": jnp.ones((cfg.d_model,)),
+        "norm2": jnp.ones((cfg.d_model,)),
+    }
+    return params
+
+
+def pack_block(params: dict, quantize: bool = False) -> dict:
+    """Masters → packed serving block (see pack_mlp for quantize semantics)."""
+
+    def one(wname):
+        w = params[wname]
+        if quantize:
+            return pack_ternary_device(ternarize_ste(w)), absmean_scale(w)
+        return pack_ternary_device(w), jnp.float32(1.0)
+
+    w_up, s_up = one("w_up")
+    w_down, s_down = one("w_down")
+    return {
+        "attn": pack_attention(params["attn"], quantize=quantize),
+        "w_up": w_up,
+        "s_up": s_up,
+        "b_up": params["b_up"],
+        "w_down": w_down,
+        "s_down": s_down,
+        "b_down": params["b_down"],
+        "norm1": params["norm1"],
+        "norm2": params["norm2"],
+    }
+
+
+def block_forward(
+    packed: dict,
+    x: jax.Array,
+    cfg: TernaryBlockConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+) -> jax.Array:
+    """Pre-norm transformer block: x + attn(norm(x)), then x + mlp(norm(x))."""
+
+    def spmm(inp, w, s, b, alpha=None):
+        inp = inp * s
+        if use_kernel:
+            return packed_spmm(
+                inp, w, b, alpha, compute_dtype=compute_dtype
+            )
+        return packed_spmm_jnp(inp, w, b, alpha, dtype=compute_dtype)
+
+    h = rmsnorm(x, packed["norm1"], cfg.eps)
+    x = x + attention_forward(
+        packed["attn"], h, cfg.attn,
+        compute_dtype=compute_dtype, use_kernel=use_kernel,
+    )
+    h = rmsnorm(x, packed["norm2"], cfg.eps)
+    up = spmm(h, packed["w_up"], packed["s_up"], packed["b_up"], cfg.alpha)
+    down = spmm(up, packed["w_down"], packed["s_down"], packed["b_down"])
+    return x + down

@@ -91,3 +91,66 @@ def test_attention_dim_validation(key):
     cfg = TernaryAttentionConfig(d_model=65, n_heads=2)
     with pytest.raises(ValueError):
         init_attention(key, cfg)
+
+
+# ---------------------------------------------------------------- block
+
+
+def test_transformer_block_forward(key):
+    from smmb_tpu.models.transformer import (
+        TernaryBlockConfig,
+        block_forward,
+        init_block,
+        pack_block,
+    )
+
+    cfg = TernaryBlockConfig(d_model=64, n_heads=2, d_ff=128)
+    params = init_block(key, cfg)
+    packed = pack_block(params)
+    x = rng.rand_dense(jax.random.PRNGKey(11), (2, 8, 64))
+    y = block_forward(packed, x, cfg, use_kernel=False)
+    assert y.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(y)))
+    # residual path: zeroed weights ≈ identity (plus bias-driven terms)
+    # sanity: output differs from input (block actually did something)
+    assert float(np.abs(np.asarray(y - x)).max()) > 0.1
+
+
+def test_transformer_block_causality(key):
+    from smmb_tpu.models.transformer import (
+        TernaryBlockConfig,
+        block_forward,
+        init_block,
+        pack_block,
+    )
+
+    cfg = TernaryBlockConfig(d_model=64, n_heads=2, d_ff=128, causal=True)
+    packed = pack_block(init_block(key, cfg))
+    x = rng.rand_dense(jax.random.PRNGKey(12), (1, 8, 64))
+    y1 = block_forward(packed, x, cfg, use_kernel=False)
+    x2 = x.at[0, 6:].set(0.0)
+    y2 = block_forward(packed, x2, cfg, use_kernel=False)
+    np.testing.assert_allclose(
+        np.asarray(y1[0, :6]), np.asarray(y2[0, :6]), atol=1e-4
+    )
+
+
+def test_transformer_block_quantized(key):
+    from smmb_tpu.models.transformer import (
+        TernaryBlockConfig,
+        block_forward,
+        init_block,
+        pack_block,
+    )
+
+    cfg = TernaryBlockConfig(d_model=64, n_heads=2, d_ff=128)
+    params = init_block(key, cfg)
+    params = {
+        k_: (jax.tree.map(lambda a: a * 0.6 + 0.01, v) if k_ == "attn"
+             else v * 0.6 + 0.01 if k_.startswith("w") else v)
+        for k_, v in params.items()
+    }
+    packed = pack_block(params, quantize=True)
+    x = rng.rand_dense(jax.random.PRNGKey(13), (1, 4, 64))
+    y = block_forward(packed, x, cfg, use_kernel=False)
+    assert np.all(np.isfinite(np.asarray(y)))
