@@ -80,3 +80,31 @@ def test_mlp_bench_cpu():
         mesh_shape=(1, 2), use_kernel=False,
     )
     assert "mesh" in r2.label and r2.mean_s > 0
+
+
+def test_use_interpret_resolution():
+    from smmb_tpu.kernels._compat import use_interpret
+
+    assert use_interpret(True) is True
+    assert use_interpret(False) is False
+    # on the CPU test platform, auto-detection must choose interpret
+    assert use_interpret(None) is True
+
+
+def test_enable_compile_cache(tmp_path):
+    import jax
+
+    from smmb_tpu.utils.cache import enable_compile_cache
+
+    path = enable_compile_cache(str(tmp_path / "cache"))
+    assert (tmp_path / "cache").is_dir()
+    assert jax.config.jax_compilation_cache_dir == path
+
+
+def test_round_up():
+    from smmb_tpu.utils.shapes import round_up
+
+    assert round_up(1, 8) == 8
+    assert round_up(8, 8) == 8
+    assert round_up(9, 8) == 16
+    assert round_up(0, 512) == 0
