@@ -261,8 +261,11 @@ def run_case(
             )
             print(_progress_row(out[-1]), file=sys.stderr, flush=True)
             continue
+        # the XLA gather/segment-sum program faults the dev chip inside very
+        # long device loops (ROADMAP #8); cap its loop length
+        k_iters = min(iters, 100) if name.startswith("tcsc") and iters else iters
         try:
-            meas = measure_device(fn, *args, iters=iters, reps=reps)
+            meas = measure_device(fn, *args, iters=k_iters, reps=reps)
         except Exception as e:
             print(
                 f"[{case}] {name}: MEASURE ERROR {type(e).__name__}: "
