@@ -125,7 +125,11 @@ def pack_ternary_device(t: jax.Array, nnz: int = -1) -> TernaryPacked:
     metadata; pass -1 when unknown (density reporting then unavailable).
     """
     rows, cols = t.shape
-    ti = t.astype(jnp.int8)
+    # same contract as the host-side pack_ternary: anything not exactly ±1
+    # encodes as 0 (a bare astype would mis-encode e.g. 2.0 → code 0b10)
+    ti = jnp.where(
+        jnp.abs(t) == 1, jnp.sign(t).astype(jnp.int8), jnp.int8(0)
+    )
     pad_rows = round_up(max(rows, 1), GROUP_ROWS)
     if pad_rows != rows:
         ti = jnp.concatenate([ti, jnp.zeros((pad_rows - rows, cols), jnp.int8)])

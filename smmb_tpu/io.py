@@ -3,8 +3,9 @@
 A ternary-weight framework needs a serving artifact format: ``save``/``load``
 for every sparse format as a single .npz (portable, mmap-friendly), and the
 model-level save of packed MLP weights. Orbax handles training checkpoints of
-fp32 masters (plain pytrees — nothing custom needed); this module covers the
-packed/indexed serving artifacts.
+fp32 masters (plain pytrees — nothing custom needed; round-trip covered by
+tests/test_nn_io.py::test_orbax_training_checkpoint_roundtrip); this module
+covers the packed/indexed serving artifacts.
 """
 
 from __future__ import annotations
@@ -47,10 +48,11 @@ def load(path: str):
     z = np.load(path, allow_pickle=False)
     kind = str(z["__kind__"])
     cls = _KIND[kind]
-    meta = {
-        str(k): int(v)
-        for k, v in zip(z["__meta_names__"], z["__meta_values__"])
-    }
+    meta = {}
+    for k, v in zip(z["__meta_names__"], z["__meta_values__"]):
+        # preserve numeric type: int fields round-trip through float storage
+        # exactly; anything non-integral stays float (never truncate)
+        meta[str(k)] = int(v) if float(v) == int(v) else float(v)
     arrays = {
         k: jnp.asarray(z[k])
         for k in z.files

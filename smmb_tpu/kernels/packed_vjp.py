@@ -46,6 +46,10 @@ def make_packed_linear(
         raise ValueError(
             f"w_t shape {w_t.shape} is not the transpose of w {w.shape}"
         )
+    if alpha is not None and alpha < 0:
+        # the backward mask is derived from the forward OUTPUT (y > 0),
+        # which only equals the pre-activation sign for alpha >= 0
+        raise ValueError(f"make_packed_linear requires alpha >= 0, got {alpha}")
     kern = (
         jax.default_backend() == "tpu" if use_kernel is None else use_kernel
     )

@@ -102,3 +102,44 @@ def test_save_load_params(tmp_path, key):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(params["b"], back["b"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_training_checkpoint_roundtrip(tmp_path, key):
+    # backs the io.py claim that training checkpoints of fp32 masters are
+    # plain pytrees handled by orbax — full save/restore round-trip
+    import orbax.checkpoint as ocp
+
+    cfg = TernaryMLPConfig(layer_dims=(32, 64, 32))
+    params = init_mlp(key, cfg)
+    ckptr = ocp.StandardCheckpointer()
+    path = tmp_path / "ckpt"
+    ckptr.save(path, params)
+    ckptr.wait_until_finished()
+    restored = ckptr.restore(path, params)
+    for a, b in zip(params["w"], restored["w"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(params["b"], restored["b"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_save_load_float_meta_preserved(tmp_path):
+    # io.load must not truncate non-integral meta (ADVICE round 1)
+    import dataclasses
+
+    from smmb_tpu import io as smio_mod
+
+    @dataclasses.dataclass(frozen=True)
+    class FakeFmt:
+        data: object
+        rows: int
+        scale: float
+
+    smio_mod._KIND["FakeFmt"] = FakeFmt
+    try:
+        path = str(tmp_path / "f.npz")
+        smio_mod.save(path, FakeFmt(data=np.ones(3), rows=4, scale=0.75))
+        back = smio_mod.load(path)
+        assert back.rows == 4 and isinstance(back.rows, int)
+        assert back.scale == 0.75
+    finally:
+        del smio_mod._KIND["FakeFmt"]
