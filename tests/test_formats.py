@@ -160,3 +160,65 @@ def test_packed_unpack_jit(key):
     p = pack_ternary(w)
     out = jax.jit(unpack_ternary)(p)
     np.testing.assert_array_equal(np.asarray(out), w)
+
+
+# ------------------------------------------------- legacy threshold path
+
+
+def test_threshold_construction_semantics():
+    # legacy compares are thresholds, not exact matches
+    # (/root/reference/SparseGEMM.h:26-34): 5 → +1, -3 → -1, 0 stays 0
+    from smmb_tpu.formats import (
+        pack_ternary_threshold,
+        tcsc_from_dense_threshold,
+        ternarize_threshold,
+    )
+    from smmb_tpu.formats.packed import unpack_ternary
+    from smmb_tpu.formats.tcsc import tcsc_to_dense
+
+    w = np.array([[5, -3, 0, 1], [-1, 2, -7, 0]], np.int32)
+    expect = np.array([[1, -1, 0, 1], [-1, 1, -1, 0]], np.float32)
+    np.testing.assert_array_equal(ternarize_threshold(w), expect)
+    np.testing.assert_array_equal(
+        np.asarray(tcsc_to_dense(tcsc_from_dense_threshold(w))), expect
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_ternary(pack_ternary_threshold(w))), expect
+    )
+
+
+def test_legacy_int_workload_parity(key):
+    # the legacy driver's own workload: initX int activations ×
+    # generateSparseMatrix weights, sparseGEMM vs dense GEMM within the
+    # legacy tolerance 1e-5 (/root/reference/SparseGEMM.h:171-184,
+    # SparseGEMM.cpp:95-118)
+    import jax.numpy as jnp
+
+    from smmb_tpu.formats import pack_ternary_threshold, ternarize_threshold
+    from smmb_tpu.formats.legacy import tcsc_from_dense_threshold
+    from smmb_tpu.ops import gemm, packed_spmm_jnp, tcsc_spmm
+    from smmb_tpu.utils.compare import TOL_LEGACY, assert_close
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = rng.rand_int_dense(k1, (8, 256), value_range=4)
+    # int weight matrix with out-of-range magnitudes: threshold semantics
+    w_int = np.asarray(rng.rand_int_dense(k2, (256, 128), value_range=2))
+    b = rng.rand_int_dense(k3, (128,), value_range=4)
+    oracle = gemm(x, jnp.asarray(ternarize_threshold(w_int)), b)
+
+    t = tcsc_from_dense_threshold(w_int)
+    assert_close(tcsc_spmm(x, t, b), oracle, TOL_LEGACY, "legacy tcsc")
+    p = pack_ternary_threshold(w_int)
+    assert_close(packed_spmm_jnp(x, p, b), oracle, TOL_LEGACY, "legacy packed")
+
+
+def test_legacy_generator_threshold_roundtrip(key):
+    # uniform-window generator output converts identically through exact
+    # and threshold constructors (entries are already ±1)
+    from smmb_tpu.formats import tcsc_from_dense, tcsc_from_dense_threshold
+    from smmb_tpu.formats.tcsc import tcsc_to_dense
+
+    w = np.asarray(rng.ternary_uniform_windows(key, (64, 96), non_zero=4))
+    a = np.asarray(tcsc_to_dense(tcsc_from_dense(w)))
+    b = np.asarray(tcsc_to_dense(tcsc_from_dense_threshold(w)))
+    np.testing.assert_array_equal(a, b)
