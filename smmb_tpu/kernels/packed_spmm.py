@@ -49,6 +49,7 @@ from smmb_tpu.utils.shapes import round_up
 
 def _kernel(*refs, nk, alpha, compute_dtype, decode):
     quant = compute_dtype == jnp.int8
+    fold = decode == "fold"
     if quant:
         x_ref, w_ref, b_ref, s_ref, o_ref, acc_ref = refs
     else:
@@ -72,7 +73,7 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
     # would repeat per N-tile since the x block only depends on (m, k))
     x = x_ref[:]
     groups = w_ref.shape[0] // SUB
-    acc = acc_ref[:]
+    acc = None if (quant and fold) else acc_ref[:]
     for gi in range(groups):
         wb = w_ref[gi * SUB : (gi + 1) * SUB, :]
         if decode == "cmp":
@@ -83,12 +84,36 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
             # 16-bit tiling a bf16 select would need — with one int8→dtype
             # convert at the end.
             vals = (jnp.int8(-1), jnp.int8(1), jnp.int8(0))
-        else:
+        elif decode == "shift":
             block = wb.astype(jnp.int32)
+        if fold:
+            # int16 domain: i16 packs 2 lanes per 32-bit sublane slot —
+            # half the lane-ops of the int32 shift decode. Mosaic on v5e
+            # legalizes only a subset of i16 vector ops (probed,
+            # scripts/probe_i16_ops.py): and/or/xor/add and converts are
+            # fine; sub/mul/shifts SIGABRT the compiler. So the decode is
+            # xor+and+add only: flip every hi (sign) bit once per group,
+            # then the masked 2-bit field is a biased code u·4^i with
+            # u = t+1, and adding -2·4^i recovers t·4^i. Sign extension
+            # from the i8 load is irrelevant (masks only touch bits 0-7).
+            wx = wb.astype(jnp.int16) ^ jnp.int16(0xAA)
         for i in range(VALUES_PER_BYTE):
             # plane i of group gi = logical rows [base, base + SUB);
             # one MXU dot per decoded plane (K=SUB=128) — no concat/copy
-            if decode == "cmp":
+            if fold:
+                # scale-folded masked decode (2 i16 ops per plane):
+                # (wx & 3·4^i) + (-2·4^i) = 4^i · ternary value.
+                # The exact power-of-two scale is divided out of the
+                # activations by the wrapper (float) or shifted out of the
+                # per-plane accumulators in the epilogue (int8 mode), so
+                # parity is bit-exact — the M=1 weight-streaming fix
+                # (docs/ROADMAP.md #1).
+                field = wx & jnp.int16(3 << (2 * i))
+                plane16 = field + jnp.int16(-(2 << (2 * i)))
+                plane = plane16.astype(
+                    jnp.int8 if quant else compute_dtype
+                )
+            elif decode == "cmp":
                 # masks wrapped into int8 range (bit 7 ⇒ -128)
                 m1 = ((1 << (2 * i)) + 128) % 256 - 128
                 m2 = ((2 << (2 * i)) + 128) % 256 - 128
@@ -101,17 +126,32 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
                 # sign-extend bits 2i..2i+1: (w << (30-2i)) >> 30
                 plane = ((block << (30 - 2 * i)) >> 30).astype(compute_dtype)
             base = gi * GROUP_ROWS + i * SUB
-            acc += jnp.dot(
+            dot = jnp.dot(
                 x[:, base : base + SUB],
                 plane,
                 preferred_element_type=acc_t,
                 precision=precision,
             )
-    acc_ref[:] = acc
+            if quant and fold:
+                # per-plane accumulators: scales 4^i divided out once in
+                # the epilogue (exact — sums are multiples of 4^i)
+                acc_ref[i] += dot
+            else:
+                acc = acc + dot
+    if acc is not None:
+        acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
     def _():
-        r = acc_ref[:].astype(jnp.float32)
+        if quant and fold:
+            r = (
+                acc_ref[0]
+                + (acc_ref[1] >> 2)
+                + (acc_ref[2] >> 4)
+                + (acc_ref[3] >> 6)
+            ).astype(jnp.float32)
+        else:
+            r = acc_ref[:].astype(jnp.float32)
         if quant:
             r = r * s_ref[:]  # per-row dequant scale (BM, 1)
         r = r + b_ref[:].astype(jnp.float32)
@@ -147,9 +187,21 @@ def packed_spmm(
 ) -> jax.Array:
     """``Y = prelu(X @ W + B, alpha)`` with 2-bit packed ternary W.
 
-    ``decode="cmp"`` (int8 bitmask tests instead of int32 shifts) is
-    interpret-validated but hits a pathological multi-minute Mosaic compile
-    on v5e — keep the default "shift" in production (docs/ROADMAP.md #1).
+    ``decode`` selects the VPU plane-decode strategy:
+      * ``"shift"`` (default) — int32 shift sign-extend decode. Measured
+        fastest on v5e at every shape (M=1 bf16 5.46 µs, M=256 bf16
+        54.4 µs / int8 50.7 µs — scripts/probe_decode.py, 2026-08-17).
+      * ``"fold"`` — xor+and+add masked decode in int16 (~half the VPU
+        lane-ops of "shift"); the 4^i plane scale is divided out of the
+        activations (float) or shifted out of per-plane int32 accumulators
+        (int8 mode) — bit-exact parity (all scales are exponent shifts).
+        Measured ~1 µs slower than "shift" at M=1 (the activation
+        pre-scale is an extra XLA op) and ~equal in-kernel: decode is not
+        the bottleneck on current v5e toolchains. Kept as the fallback for
+        toolchains where int32 shifts regress, and as the in-kernel decode
+        style the BCSR block kernel reuses.
+      * ``"cmp"`` — int8 bitmask tests; interpret-validated but hits a
+        pathological multi-minute Mosaic compile on v5e (docs/ROADMAP.md #1).
 
     Args:
       x: (M, K) activations, float32 or bfloat16.
@@ -224,6 +276,11 @@ def packed_spmm(
         xq = x.astype(compute_dtype)  # cast once, not per N-tile
         if mp != m or kq != k:
             xq = jnp.pad(xq, ((0, mp - m), (0, kq - k)))
+        if decode == "fold":
+            # divide the fold-decode's 4^i plane scale out of the
+            # activations (exact: power-of-two exponent shift in bf16/f32)
+            plane_i = (jnp.arange(kq) % GROUP_ROWS) // SUB
+            xq = xq * (0.25 ** plane_i).astype(xq.dtype)[None, :]
         sq = None
     wq = w.data
     bq = jnp.zeros((1, npad), jnp.float32)
@@ -265,7 +322,12 @@ def packed_spmm(
         ),
         out_shape=jax.ShapeDtypeStruct((mp, npad), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((bm, bn), jnp.int32 if quant else jnp.float32)
+            pltpu.VMEM(
+                (VALUES_PER_BYTE, bm, bn)
+                if (quant and decode == "fold")
+                else (bm, bn),
+                jnp.int32 if quant else jnp.float32,
+            )
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
