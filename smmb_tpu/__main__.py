@@ -1,4 +1,4 @@
-"""CLI: ``python -m smmb_tpu {showcase,sweep,scaling,mlp,headline}``.
+"""CLI: ``python -m smmb_tpu {showcase,sweep,scaling,mlp,decode,headline}``.
 
 The L5 automation surface (reference: ./benchmark.sh + parse-out2csv.sh +
 performance.py, SURVEY.md §3.5) as one entry point.
@@ -22,10 +22,14 @@ def main():
         from smmb_tpu.bench.mlp_bench import main as mlp_main
 
         mlp_main(rest)
+    elif mode == "decode":
+        from smmb_tpu.bench.decode_bench import main as decode_main
+
+        decode_main(rest)
     elif mode == "scaling":
         from smmb_tpu.bench.scaling import main as scaling_main
 
-        scaling_main()
+        scaling_main(rest)
     elif mode == "headline":
         import runpy
         import os

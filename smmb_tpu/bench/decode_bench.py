@@ -1,0 +1,143 @@
+"""Batch-1 incremental-decode serving benchmark (transformer KV-cache path).
+
+The reference stops at MLP serving; this measures the framework's serving
+decode loop — L ternary transformer blocks stepped one token at a time
+against static-shape KV caches (models/attention.py:attention_decode_step).
+Reports per-step latency and tokens/s, plus the byte-roofline fraction
+(per step the chip must stream every packed weight plane once and read the
+live KV cache — both HBM-bound at batch 1).
+
+CLI: python -m smmb_tpu decode [--layers 4] [--d-model 1024] [--d-ff 4096]
+     [--batch 1] [--max-len 1024] [--cache-dtype bf16]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smmb_tpu.bench.measure import measure_device
+from smmb_tpu.bench.roofline import chip_spec
+from smmb_tpu.models.transformer import (
+    TernaryBlockConfig,
+    block_decode_step,
+    block_prefill,
+    init_block,
+    init_block_cache,
+    pack_block,
+)
+from smmb_tpu.utils import rng
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeBenchResult:
+    step_s: float
+    tokens_per_s: float
+    frac_roofline: float
+    prefill_s: float
+    prefill_tokens_per_s: float
+
+
+def run_decode_bench(
+    layers: int = 4,
+    d_model: int = 1024,
+    n_heads: int = 8,
+    d_ff: int = 4096,
+    batch: int = 1,
+    max_len: int = 1024,
+    prompt_len: int = 512,
+    *,
+    cache_dtype=jnp.bfloat16,
+    compute_dtype=jnp.bfloat16,
+    reps: int = 4,
+    use_kernel: bool | None = None,
+) -> DecodeBenchResult:
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
+    cfg = TernaryBlockConfig(d_model=d_model, n_heads=n_heads, d_ff=d_ff)
+    keys = jax.random.split(jax.random.PRNGKey(0), layers)
+    blocks = [pack_block(init_block(k, cfg), quantize=True) for k in keys]
+    caches = [
+        init_block_cache(cfg, batch, max_len, dtype=cache_dtype)
+        for _ in range(layers)
+    ]
+
+    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+
+    @jax.jit
+    def prefill(x, caches):
+        new = []
+        for blk, c in zip(blocks, caches):
+            x, c = block_prefill(blk, x, c, cfg, **kw)
+            new.append(c)
+        return x, new
+
+    @jax.jit
+    def step(x_t, caches):
+        new = []
+        for blk, c in zip(blocks, caches):
+            x_t, c = block_decode_step(blk, x_t, c, cfg, **kw)
+            new.append(c)
+        return x_t, new
+
+    prompt = rng.rand_dense(jax.random.PRNGKey(1), (batch, prompt_len, d_model))
+    y, caches = prefill(prompt, caches)
+    jax.block_until_ready(y)
+    meas_pre = measure_device(prefill, prompt, caches, reps=reps)
+
+    x_t = rng.rand_dense(jax.random.PRNGKey(2), (batch, 1, d_model))
+    meas = measure_device(step, x_t, caches, reps=reps)
+
+    # byte roofline per decode step: all packed planes once + the KV cache
+    # read by attention (static max_len) + activations (negligible)
+    wbytes = layers * (
+        4 * d_model * d_model + 2 * d_model * d_ff
+    ) // 4  # 2-bit planes
+    kv_bytes = (
+        layers * 2 * batch * max_len * d_model * jnp.dtype(cache_dtype).itemsize
+    )
+    spec = chip_spec()
+    sol = (wbytes + kv_bytes) / (spec.hbm_gbps * 1e9)
+    return DecodeBenchResult(
+        step_s=meas.min_s,
+        tokens_per_s=batch / meas.min_s,
+        frac_roofline=sol / meas.min_s,
+        prefill_s=meas_pre.min_s,
+        prefill_tokens_per_s=batch * prompt_len / meas_pre.min_s,
+    )
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--d-model", type=int, default=1024)
+    ap.add_argument("--n-heads", type=int, default=8)
+    ap.add_argument("--d-ff", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--max-len", type=int, default=1024)
+    ap.add_argument("--prompt-len", type=int, default=512)
+    ap.add_argument("--cache-dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--reps", type=int, default=4)
+    args = ap.parse_args(argv)
+    r = run_decode_bench(
+        args.layers, args.d_model, args.n_heads, args.d_ff, args.batch,
+        args.max_len, args.prompt_len,
+        cache_dtype=jnp.bfloat16 if args.cache_dtype == "bf16" else jnp.float32,
+        reps=args.reps,
+    )
+    print(
+        f"decode: layers={args.layers} d={args.d_model} ff={args.d_ff} "
+        f"batch={args.batch} ctx={args.prompt_len}/{args.max_len}  "
+        f"step={r.step_s * 1e6:.1f}us  tok/s={r.tokens_per_s:.0f}  "
+        f"frac={r.frac_roofline:.2f}  "
+        f"prefill={r.prefill_s * 1e6:.1f}us ({r.prefill_tokens_per_s / 1e6:.2f}M tok/s)"
+    )
+
+
+if __name__ == "__main__":
+    main()

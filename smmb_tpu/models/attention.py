@@ -74,8 +74,15 @@ def pack_attention(params: dict, quantize: bool = False) -> dict:
     return out
 
 
-def _attention_math(q, k, v, cfg: TernaryAttentionConfig):
-    """(B, T, D) projections → multi-head scaled dot-product attention."""
+def _attention_math(q, k, v, cfg: TernaryAttentionConfig, precision=None):
+    """(B, T, D) projections → multi-head scaled dot-product attention.
+
+    ``precision=None`` keeps the TPU default (single-pass-bf16 MXU inputs,
+    f32 accumulation) — the serving configuration. Pass
+    ``jax.lax.Precision.HIGHEST`` for bit-tight parity checks (e.g.
+    decode-vs-full): at default precision the full and incremental paths
+    round differently and diverge at bf16 noise level.
+    """
     b, t, d = q.shape
     h, hd = cfg.n_heads, cfg.head_dim
 
@@ -84,13 +91,14 @@ def _attention_math(q, k, v, cfg: TernaryAttentionConfig):
 
     q, k, v = split(q), split(k), split(v)
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q, k,
+        preferred_element_type=jnp.float32, precision=precision,
     ) / jnp.sqrt(jnp.float32(hd))
     if cfg.causal:
         mask = jnp.tril(jnp.ones((t, t), bool))
         scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=precision)
     return out.transpose(0, 2, 1, 3).reshape(b, t, d)
 
 
@@ -101,6 +109,7 @@ def attention_forward(
     *,
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
+    precision=None,
 ) -> jax.Array:
     """Serving forward: packed projections around dense attention math.
 
@@ -108,20 +117,118 @@ def attention_forward(
     """
 
     def proj(name, inp):
-        w, b = packed[name], packed[name.replace("w", "b")]
-        s = packed.get(name + "_scale")
-        if s is not None:
-            inp = inp * s  # QAT weight scale folded into activations
-        if use_kernel:
-            return packed_spmm(inp, w, b, compute_dtype=compute_dtype)
-        y = packed_spmm_jnp(inp, w, b, dtype=compute_dtype)
-        return y
+        return _proj(packed, name, inp, cfg, compute_dtype, use_kernel)
 
     q = proj("wq", x)
     k = proj("wk", x)
     v = proj("wv", x)
-    att = _attention_math(q, k, v, cfg)
+    att = _attention_math(q, k, v, cfg, precision=precision)
     return proj("wo", att)
+
+
+def init_kv_cache(
+    cfg: TernaryAttentionConfig,
+    batch: int,
+    max_len: int,
+    dtype=jnp.float32,
+) -> dict:
+    """Static-shape KV cache for incremental decode (net-new vs reference;
+    serving requirement). ``pos`` counts tokens already written."""
+    shape = (batch, max_len, cfg.n_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "pos": jnp.int32(0),
+    }
+
+
+def _split_heads(x, cfg: TernaryAttentionConfig):
+    b, t, _ = x.shape
+    return x.reshape(b, t, cfg.n_heads, cfg.head_dim)
+
+
+def _proj(packed, name, inp, cfg, compute_dtype, use_kernel):
+    w, b = packed[name], packed[name.replace("w", "b")]
+    s = packed.get(name + "_scale")
+    if s is not None:
+        inp = inp * s
+    if use_kernel:
+        return packed_spmm(inp, w, b, compute_dtype=compute_dtype)
+    return packed_spmm_jnp(inp, w, b, dtype=compute_dtype)
+
+
+def attention_prefill(
+    packed: dict,
+    x: jax.Array,
+    cache: dict,
+    cfg: TernaryAttentionConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+) -> tuple[jax.Array, dict]:
+    """Process a whole prompt (B, T, D): full causal attention (identical to
+    ``attention_forward``) plus cache fill. Returns (y, cache)."""
+    b, t, _ = x.shape
+    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    k = _split_heads(_proj(packed, "wk", x, cfg, **kw), cfg)
+    v = _split_heads(_proj(packed, "wv", x, cfg, **kw), cfg)
+    cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], k.astype(cache["k"].dtype), (0, cache["pos"], 0, 0)
+        ),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], v.astype(cache["v"].dtype), (0, cache["pos"], 0, 0)
+        ),
+        "pos": cache["pos"] + t,
+    }
+    y = attention_forward(packed, x, cfg, precision=precision, **kw)
+    return y, cache
+
+
+def attention_decode_step(
+    packed: dict,
+    x_t: jax.Array,
+    cache: dict,
+    cfg: TernaryAttentionConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+) -> tuple[jax.Array, dict]:
+    """One incremental decode step: x_t is (B, 1, D), attends over the cache
+    plus itself — O(T·D) instead of the O(T²·D) full-recompute path
+    (``attention_forward`` recomputes all T×T scores; fine for prefill,
+    wrong cost model for serving decode). Returns (y_t, new_cache)."""
+    b, one, d = x_t.shape
+    if one != 1:
+        raise ValueError(f"decode step takes one token, got T={one}")
+    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    q = _split_heads(_proj(packed, "wq", x_t, cfg, **kw), cfg)  # (B,1,H,hd)
+    k = _split_heads(_proj(packed, "wk", x_t, cfg, **kw), cfg)
+    v = _split_heads(_proj(packed, "wv", x_t, cfg, **kw), cfg)
+    pos = cache["pos"]
+    kc = jax.lax.dynamic_update_slice(
+        cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)
+    )
+    vc = jax.lax.dynamic_update_slice(
+        cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
+    )
+    max_len = kc.shape[1]
+    # scores over the static-length cache, masked beyond the live prefix —
+    # static shapes keep XLA happy (no data-dependent slice sizes)
+    scores = jnp.einsum(
+        "bqhd,bthd->bhqt", q, kc,
+        preferred_element_type=jnp.float32, precision=precision,
+    ) / jnp.sqrt(jnp.float32(cfg.head_dim))
+    live = jnp.arange(max_len) <= pos  # includes the new token
+    scores = jnp.where(live[None, None, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
+    out = jnp.einsum(
+        "bhqt,bthd->bqhd", probs, vc, precision=precision
+    ).reshape(b, 1, d)
+    y = _proj(packed, "wo", out, cfg, **kw)
+    return y, {"k": kc, "v": vc, "pos": pos + 1}
 
 
 def qat_attention_forward(

@@ -18,8 +18,11 @@ from smmb_tpu.kernels.packed_spmm import packed_spmm
 from smmb_tpu.models.attention import (
     TernaryAttentionConfig,
     _attention_math,
+    attention_decode_step,
     attention_forward,
+    attention_prefill,
     init_attention,
+    init_kv_cache,
     pack_attention,
 )
 from smmb_tpu.models.train import absmean_scale, ternarize_ste
@@ -104,21 +107,71 @@ def block_forward(
     use_kernel: bool = True,
 ) -> jax.Array:
     """Pre-norm transformer block: x + attn(norm(x)), then x + mlp(norm(x))."""
-
-    def spmm(inp, w, s, b, alpha=None):
-        inp = inp * s
-        if use_kernel:
-            return packed_spmm(
-                inp, w, b, alpha, compute_dtype=compute_dtype
-            )
-        return packed_spmm_jnp(inp, w, b, alpha, dtype=compute_dtype)
-
     h = rmsnorm(x, packed["norm1"], cfg.eps)
     x = x + attention_forward(
         packed["attn"], h, cfg.attn,
         compute_dtype=compute_dtype, use_kernel=use_kernel,
     )
+    return _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel))
+
+
+def init_block_cache(
+    cfg: TernaryBlockConfig, batch: int, max_len: int, dtype=jnp.float32
+) -> dict:
+    """KV cache for one block's attention (see attention.init_kv_cache)."""
+    return init_kv_cache(cfg.attn, batch, max_len, dtype)
+
+
+def _mlp_half(packed, x, cfg, spmm):
     h = rmsnorm(x, packed["norm2"], cfg.eps)
     up = spmm(h, packed["w_up"], packed["s_up"], packed["b_up"], cfg.alpha)
     down = spmm(up, packed["w_down"], packed["s_down"], packed["b_down"])
     return x + down
+
+
+def _make_spmm(compute_dtype, use_kernel):
+    def spmm(inp, w, s, b, alpha=None):
+        inp = inp * s
+        if use_kernel:
+            return packed_spmm(inp, w, b, alpha, compute_dtype=compute_dtype)
+        return packed_spmm_jnp(inp, w, b, alpha, dtype=compute_dtype)
+
+    return spmm
+
+
+def block_prefill(
+    packed: dict,
+    x: jax.Array,
+    cache: dict,
+    cfg: TernaryBlockConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+) -> tuple[jax.Array, dict]:
+    """Prompt pass: full block forward + KV-cache fill. Returns (y, cache)."""
+    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    h = rmsnorm(x, packed["norm1"], cfg.eps)
+    att, cache = attention_prefill(packed["attn"], h, cache, cfg.attn, **kw)
+    x = x + att
+    return _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel)), cache
+
+
+def block_decode_step(
+    packed: dict,
+    x_t: jax.Array,
+    cache: dict,
+    cfg: TernaryBlockConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+) -> tuple[jax.Array, dict]:
+    """One serving decode step through the block: x_t is (B, 1, d_model);
+    attention reads the cache (O(T·D)) instead of recomputing T×T scores."""
+    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    h = rmsnorm(x_t, packed["norm1"], cfg.eps)
+    att, cache = attention_decode_step(
+        packed["attn"], h, cache, cfg.attn, **kw
+    )
+    x_t = x_t + att
+    y = _mlp_half(packed, x_t, cfg, _make_spmm(compute_dtype, use_kernel))
+    return y, cache

@@ -154,3 +154,120 @@ def test_transformer_block_quantized(key):
     x = rng.rand_dense(jax.random.PRNGKey(13), (1, 4, 64))
     y = block_forward(packed, x, cfg, use_kernel=False)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+# ------------------------------------------------- KV-cache decode path
+
+
+def test_kv_cache_decode_matches_full_forward(key):
+    # prefill T0 tokens, then decode the rest one-by-one; every decoded
+    # output must equal the corresponding column of the full causal forward
+    from smmb_tpu.models.attention import (
+        attention_decode_step,
+        attention_prefill,
+        init_kv_cache,
+    )
+
+    cfg = TernaryAttentionConfig(d_model=128, n_heads=4)
+    params = init_attention(key, cfg)
+    packed = pack_attention(params)
+    B, T, T0 = 2, 12, 5
+    x = rng.rand_dense(jax.random.PRNGKey(2), (B, T, 128))
+
+    full = np.asarray(attention_forward(packed, x, cfg, use_kernel=False))
+
+    cache = init_kv_cache(cfg, B, max_len=T)
+    y0, cache = attention_prefill(
+        packed, x[:, :T0], cache, cfg, use_kernel=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(y0), full[:, :T0], atol=2e-4, rtol=0
+    )
+    assert int(cache["pos"]) == T0
+    for t in range(T0, T):
+        y_t, cache = attention_decode_step(
+            packed, x[:, t : t + 1], cache, cfg, use_kernel=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_t)[:, 0], full[:, t], atol=2e-4, rtol=0,
+            err_msg=f"decode step t={t}",
+        )
+    assert int(cache["pos"]) == T
+
+
+def test_kv_cache_decode_jit_scan(key):
+    # the decode loop must run under jit with the cache as carry
+    from smmb_tpu.models.attention import (
+        attention_decode_step,
+        init_kv_cache,
+    )
+
+    cfg = TernaryAttentionConfig(d_model=64, n_heads=2)
+    params = init_attention(key, cfg)
+    packed = pack_attention(params)
+    B, T = 1, 6
+    x = rng.rand_dense(jax.random.PRNGKey(3), (B, T, 64))
+
+    @jax.jit
+    def decode_all(packed, x):
+        cache = init_kv_cache(cfg, B, max_len=T)
+
+        def step(cache, x_t):
+            y, cache = attention_decode_step(
+                packed, x_t[:, None], cache, cfg, use_kernel=False
+            )
+            return cache, y[:, 0]
+
+        cache, ys = jax.lax.scan(step, cache, x.swapaxes(0, 1))
+        return ys.swapaxes(0, 1)
+
+    ys = np.asarray(decode_all(packed, x))
+    full = np.asarray(attention_forward(packed, x, cfg, use_kernel=False))
+    np.testing.assert_allclose(ys, full, atol=2e-4, rtol=0)
+
+
+def test_block_decode_matches_forward(key):
+    from smmb_tpu.models.transformer import (
+        TernaryBlockConfig,
+        block_decode_step,
+        block_forward,
+        block_prefill,
+        init_block,
+        init_block_cache,
+        pack_block,
+    )
+
+    cfg = TernaryBlockConfig(d_model=64, n_heads=2, d_ff=128)
+    params = init_block(key, cfg)
+    packed = pack_block(params)
+    B, T, T0 = 1, 8, 3
+    x = rng.rand_dense(jax.random.PRNGKey(4), (B, T, 64))
+    full = np.asarray(block_forward(packed, x, cfg, use_kernel=False))
+
+    cache = init_block_cache(cfg, B, max_len=T)
+    y0, cache = block_prefill(packed, x[:, :T0], cache, cfg, use_kernel=False)
+    np.testing.assert_allclose(np.asarray(y0), full[:, :T0], atol=3e-4, rtol=0)
+    for t in range(T0, T):
+        y_t, cache = block_decode_step(
+            packed, x[:, t : t + 1], cache, cfg, use_kernel=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_t)[:, 0], full[:, t], atol=3e-4, rtol=0,
+            err_msg=f"block decode t={t}",
+        )
+
+
+def test_decode_step_rejects_multi_token(key):
+    import pytest
+
+    from smmb_tpu.models.attention import (
+        attention_decode_step,
+        init_kv_cache,
+    )
+
+    cfg = TernaryAttentionConfig(d_model=64, n_heads=2)
+    packed = pack_attention(init_attention(key, cfg))
+    cache = init_kv_cache(cfg, 1, 8)
+    x2 = rng.rand_dense(jax.random.PRNGKey(5), (1, 2, 64))
+    with pytest.raises(ValueError):
+        attention_decode_step(packed, x2, cache, cfg, use_kernel=False)

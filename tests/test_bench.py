@@ -85,3 +85,15 @@ def test_run_case_cpu_smoke():
         r.kernel for r in results
     }
     assert all(np.isfinite(r.time_s) for r in results)
+
+
+def test_decode_bench_cpu_smoke():
+    # tiny decode-loop bench end-to-end on CPU (jnp path, 2 reps)
+    from smmb_tpu.bench.decode_bench import run_decode_bench
+
+    r = run_decode_bench(
+        layers=1, d_model=64, n_heads=2, d_ff=128, batch=1,
+        max_len=16, prompt_len=4, reps=2, use_kernel=False,
+    )
+    assert r.step_s > 0 and r.tokens_per_s > 0
+    assert r.prefill_tokens_per_s > 0
