@@ -109,17 +109,27 @@ def run_mlp_bench(
 def main(argv=None):
     import argparse
 
+    from smmb_tpu.utils.config import BenchConfig
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--depth", type=int, default=4)
     ap.add_argument("--dim", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--mesh", default=None, help="data x model, e.g. 1x4")
+    ap.add_argument(
+        "--config", default=None,
+        help="BenchConfig JSON (reps used as the measurement protocol)",
+    )
     args = ap.parse_args(argv)
+    reps = 4
+    if args.config:
+        with open(args.config) as f:
+            reps = BenchConfig.from_json(f.read()).reps
     mesh_shape = (
         tuple(int(v) for v in args.mesh.split("x")) if args.mesh else None
     )
     r = run_mlp_bench(
-        args.depth, args.dim, args.batch, mesh_shape=mesh_shape
+        args.depth, args.dim, args.batch, mesh_shape=mesh_shape, reps=reps
     )
     print(
         f"{r.label}: depth={args.depth} dim={args.dim} batch={args.batch}  "

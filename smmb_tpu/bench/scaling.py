@@ -2,9 +2,18 @@
 
 Measures sharded packed SpMM nnz/s at a series of mesh sizes and reports
 scaling efficiency ``rate(N) / (N · rate(1))`` — the "≥85% nnz/s scaling
-efficiency at 2+ hosts" metric. On CI this runs on the virtual CPU mesh
-(numbers are not meaningful, the machinery is what's exercised); on a real
-pod slice the same code reports ICI scaling.
+efficiency at 2+ hosts" metric — for all three weight partitionings:
+
+* ``column`` — output-column sharding, no forward collective
+  (parallel/sharded.py:sharded_spmm_column)
+* ``row`` — K-row sharding with a ``psum`` combine
+  (parallel/sharded.py:sharded_spmm_row)
+* ``overlap`` — column sharding with the ring-overlapped activation
+  all-gather collective matmul (parallel/overlap.py)
+
+On CI this runs on the virtual CPU mesh (numbers are not meaningful, the
+machinery is what's exercised); on a real pod slice the same code reports
+ICI scaling. The 1×1 point measured on a real TPU chip anchors the series.
 """
 
 from __future__ import annotations
@@ -15,17 +24,23 @@ import jax
 import numpy as np
 
 from smmb_tpu.bench.measure import measure_device
-from smmb_tpu.formats.packed import pack_ternary
+from smmb_tpu.formats.packed import TernaryPacked, pack_ternary
 from smmb_tpu.parallel.mesh import make_mesh
+from smmb_tpu.parallel.overlap import sharded_spmm_column_overlapped
 from smmb_tpu.parallel.sharded import (
     shard_packed_columns,
+    shard_packed_rows,
     sharded_spmm_column,
+    sharded_spmm_row,
 )
 from smmb_tpu.utils import rng
+
+PARTITIONINGS = ("column", "row", "overlap")
 
 
 @dataclasses.dataclass(frozen=True)
 class ScalePoint:
+    partitioning: str
     devices: int
     mesh: str
     mean_s: float
@@ -40,16 +55,19 @@ def run_scaling(
     non_zero: int = 10,
     mesh_shapes=((1, 1), (1, 2), (1, 4), (1, 8)),
     *,
+    partitioning: str = "column",
     iters: int | None = None,
     reps: int = 3,
     use_kernel: bool | None = None,
 ) -> list[ScalePoint]:
-    """Column-parallel SpMM over growing model-axis meshes.
+    """Sharded SpMM over growing model-axis meshes.
 
-    The weight matrix is held fixed; each model shard owns N/n_model output
-    columns, so per-device work shrinks linearly and perfect scaling keeps
-    walltime flat.
+    The weight matrix is held fixed; each model shard owns its slice of the
+    weight planes, so per-device work shrinks linearly and perfect scaling
+    keeps walltime flat.
     """
+    if partitioning not in PARTITIONINGS:
+        raise ValueError(f"partitioning must be one of {PARTITIONINGS}")
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     kx, kw, kb = jax.random.split(jax.random.PRNGKey(0), 3)
@@ -66,15 +84,21 @@ def run_scaling(
         if ndev > len(jax.devices()):
             continue
         mesh = make_mesh(data, model)
-        ws = shard_packed_columns(p, mesh)
+        if partitioning == "row":
+            ws = shard_packed_rows(p, mesh)
+            spmm = sharded_spmm_row
+        elif partitioning == "overlap":
+            if k % (model * 512):
+                continue  # K-chunk must align to packed groups
+            ws = shard_packed_columns(p, mesh)
+            spmm = sharded_spmm_column_overlapped
+        else:
+            ws = shard_packed_columns(p, mesh)
+            spmm = sharded_spmm_column
 
         def fn(x, data_arr, b):
-            from smmb_tpu.formats.packed import TernaryPacked
-
             w_ = TernaryPacked(data=data_arr, rows=k, cols=n, nnz=p.nnz)
-            return sharded_spmm_column(
-                x, w_, b, mesh=mesh, use_kernel=use_kernel
-            )
+            return spmm(x, w_, b, mesh=mesh, use_kernel=use_kernel)
 
         meas = measure_device(fn, x, ws.data, b, iters=iters, reps=reps)
         rate = p.nnz * m / meas.mean_s
@@ -82,19 +106,48 @@ def run_scaling(
             base_rate, base_dev = rate, ndev
         eff = rate / (base_rate * ndev / base_dev)
         points.append(
-            ScalePoint(ndev, f"{data}x{model}", meas.mean_s, rate, eff)
+            ScalePoint(
+                partitioning, ndev, f"{data}x{model}", meas.mean_s, rate, eff
+            )
         )
     return points
 
 
-def main():
-    pts = run_scaling()
-    for pt in pts:
-        print(
-            f"devices={pt.devices:2d} mesh={pt.mesh}  "
-            f"t={pt.mean_s * 1e6:9.1f}us  nnz/s={pt.nnz_per_s:.3e}  "
-            f"eff={pt.efficiency * 100:5.1f}%"
+def main(argv=None):
+    import argparse
+
+    from smmb_tpu.utils.config import BenchConfig
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--config", default=None,
+        help="BenchConfig JSON file (mesh_shapes, iters, reps)",
+    )
+    ap.add_argument(
+        "--partitionings", default=",".join(PARTITIONINGS),
+        help="comma-separated subset of column,row,overlap",
+    )
+    ap.add_argument("--reps", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    cfg = BenchConfig()
+    if args.config:
+        with open(args.config) as f:
+            cfg = BenchConfig.from_json(f.read())
+    reps = args.reps if args.reps is not None else cfg.reps
+    for part in args.partitionings.split(","):
+        pts = run_scaling(
+            mesh_shapes=cfg.mesh_shapes,
+            partitioning=part,
+            iters=cfg.iters,
+            reps=reps,
         )
+        for pt in pts:
+            print(
+                f"[{pt.partitioning:7s}] devices={pt.devices:2d} "
+                f"mesh={pt.mesh}  t={pt.mean_s * 1e6:9.1f}us  "
+                f"nnz/s={pt.nnz_per_s:.3e}  eff={pt.efficiency * 100:5.1f}%"
+            )
 
 
 if __name__ == "__main__":

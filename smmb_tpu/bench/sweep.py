@@ -97,7 +97,7 @@ def _kernels_for_case(x, w_np, b, use_pallas: bool, kernel_filter=None):
     dense_bytes = 4 * k * n
     t = (
         tcsc_from_dense(w_np)
-        if wanted("tcsc_segsum", "tcsc_segsum_prelu")
+        if wanted("tcsc_segsum", "tcsc_segsum_prelu", "tcsc_padded")
         else None
     )
     p = (
@@ -140,6 +140,20 @@ def _kernels_for_case(x, w_np, b, use_pallas: bool, kernel_filter=None):
                 t.index_bytes(),
             ),
         ]
+    if t is not None and wanted("tcsc_padded"):
+        from smmb_tpu.formats.tcsc import tcsc_pad_columns
+        from smmb_tpu.ops.spmm import tcsc_spmm_padded
+
+        tp = tcsc_pad_columns(t)
+        kernels.append(
+            (
+                "tcsc_padded",
+                jax.jit(lambda x, tp, b: tcsc_spmm_padded(x, tp, b)),
+                (x, tp, b),
+                sparse_f,
+                4 * (tp.cols * (tp.pad_pos + tp.pad_neg + 2)),
+            )
+        )
     if p is not None:
         kernels.append(
             (
@@ -176,12 +190,30 @@ def _kernels_for_case(x, w_np, b, use_pallas: bool, kernel_filter=None):
                     p.weight_bytes(),
                 ),
                 (
+                    "packed_kernel_bf16_prelu",
+                    lambda x, p, b: packed_spmm(
+                        x, p, b, alpha=ALPHA, compute_dtype=jnp.bfloat16
+                    ),
+                    (x, p, b),
+                    sparse_f + m * n,
+                    p.weight_bytes(),
+                ),
+                (
                     "packed_kernel_w2a8",
                     lambda x, p, b: packed_spmm(
                         x, p, b, compute_dtype=jnp.int8
                     ),
                     (x, p, b),
                     sparse_f,
+                    p.weight_bytes(),
+                ),
+                (
+                    "packed_kernel_w2a8_prelu",
+                    lambda x, p, b: packed_spmm(
+                        x, p, b, alpha=ALPHA, compute_dtype=jnp.int8
+                    ),
+                    (x, p, b),
+                    sparse_f + m * n,
                     p.weight_bytes(),
                 ),
             ]
@@ -194,6 +226,27 @@ def _kernels_for_case(x, w_np, b, use_pallas: bool, kernel_filter=None):
                 (x, bm, b),
                 sparse_f,
                 bm.value_bytes(),
+            )
+        )
+    if (
+        wanted("bcsr_pallas")
+        and use_pallas
+        and k % 128 == 0
+        and n % 128 == 0
+    ):
+        # MXU-geometry block kernel (128x128, 2-bit packed blocks); on the
+        # unstructured showcase matrices every block is stored, so this row
+        # measures the block machinery at full occupancy
+        from smmb_tpu.kernels.bcsr_spmm import bcsr_prepare, bcsr_spmm_pallas
+
+        prep = bcsr_prepare(bcsr_from_dense(w_np, 128, 128))
+        kernels.append(
+            (
+                "bcsr_pallas",
+                lambda x, prep, b: bcsr_spmm_pallas(x, prep, b),
+                (x, prep, b),
+                sparse_f,
+                prep.weight_bytes(),
             )
         )
     if kernel_filter:
@@ -339,13 +392,20 @@ def run_sweep(
 def main(argv=None):
     import argparse
 
+    from smmb_tpu.utils.config import BenchConfig
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("mode", choices=["showcase", "sweep"], nargs="?",
                     default="showcase")
+    ap.add_argument(
+        "--config", default=None,
+        help="BenchConfig JSON file; CLI flags override its fields",
+    )
     ap.add_argument("--csv", default=None, help="write results CSV here")
     ap.add_argument("--plot", default=None, help="write performance.png here")
     ap.add_argument("--iters", type=int, default=None)
-    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=None)
     ap.add_argument(
         "--kernels", default=None,
         help="comma-separated kernel-name filter (default: all)",
@@ -356,8 +416,35 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
-    kf = tuple(args.kernels.split(",")) if args.kernels else None
-    kw = dict(iters=args.iters, reps=args.reps, kernel_filter=kf)
+    cfg = BenchConfig()
+    if args.config:
+        with open(args.config) as f:
+            cfg = BenchConfig.from_json(f.read())
+    # CLI flags override config-file fields
+    cfg = dataclasses.replace(
+        cfg,
+        **{
+            k: v
+            for k, v in (
+                ("iters", args.iters),
+                ("reps", args.reps),
+                ("seed", args.seed),
+                (
+                    "kernels",
+                    tuple(args.kernels.split(",")) if args.kernels else None,
+                ),
+            )
+            if v is not None
+        },
+    )
+    kf = cfg.kernels or None
+    kw = dict(
+        iters=cfg.iters,
+        reps=cfg.reps,
+        seed=cfg.seed,
+        validate=cfg.validate,
+        kernel_filter=kf,
+    )
     if args.mode == "showcase":
         cases = (
             [tuple(int(v) for v in c.split("x")) for c in args.cases.split(";")]
@@ -366,7 +453,9 @@ def main(argv=None):
         )
         results = run_showcase(cases=cases, **kw)
     else:
-        results = run_sweep(**kw)
+        results = run_sweep(
+            ms=cfg.ms, ks=cfg.ks, ns=cfg.ns, non_zeros=cfg.non_zeros, **kw
+        )
     rows = [dataclasses.asdict(r) for r in results]
     print(results_table(rows, [
         "case", "kernel", "valid", "max_err", "time_s",
@@ -377,7 +466,11 @@ def main(argv=None):
         print(f"\n[{case}] " + speedup_analysis(sub))
     if args.csv:
         to_csv(rows, args.csv)
-        print(f"\nwrote {args.csv}")
+        # emit the resolved config beside the artifact so a committed
+        # config reproduces a committed CSV (SURVEY §5 config gap)
+        with open(args.csv + ".config.json", "w") as f:
+            f.write(cfg.to_json())
+        print(f"\nwrote {args.csv} (+ .config.json)")
     if args.plot:
         from smmb_tpu.bench.report import plot_performance
 

@@ -23,8 +23,9 @@ class BenchConfig:
     non_zeros: tuple = (2, 8, 16)  # SparseGEMM.cpp:75 (density = 1/nz)
     # kernels to include (names from bench.sweep registry)
     kernels: tuple = ()  # empty = all available
-    # measurement protocol (measure.py defaults mirror main.cpp:8-17)
-    iters: int = 20
+    # measurement protocol (measure.py defaults mirror main.cpp:8-17);
+    # iters=None auto-calibrates the device-loop length (measure_device)
+    iters: int | None = None
     reps: int = 5
     alpha: float = 0.2  # main.cpp:268
     seed: int = 0

@@ -39,14 +39,17 @@ def test_annotate_context():
 
 
 def test_scaling_harness_cpu():
-    pts = run_scaling(
-        m=8, k=1024, n=1024, non_zero=2,
-        mesh_shapes=((1, 1), (1, 2)), iters=2, reps=2, use_kernel=False,
-    )
-    assert len(pts) == 2
-    assert pts[0].devices == 1 and pts[1].devices == 2
-    assert pts[0].efficiency == 1.0
-    assert all(p.nnz_per_s > 0 for p in pts)
+    for part in ("column", "row", "overlap"):
+        pts = run_scaling(
+            m=8, k=1024, n=1024, non_zero=2,
+            mesh_shapes=((1, 1), (1, 2)), partitioning=part,
+            iters=2, reps=2, use_kernel=False,
+        )
+        assert len(pts) == 2, part
+        assert pts[0].devices == 1 and pts[1].devices == 2
+        assert pts[0].efficiency == 1.0
+        assert all(p.nnz_per_s > 0 for p in pts), part
+        assert all(p.partitioning == part for p in pts)
 
 
 def test_autotune_cache(tmp_path, monkeypatch):
