@@ -10,11 +10,13 @@ tile. Compute and HBM traffic scale with the number of stored blocks, not
 with the dense shape — the same asymptotic win as the reference's CSR walk
 (/root/reference/sparse/bcsr.c:155-173).
 
-Usage: ``prep = bcsr_prepare(w)`` once (host-side column-major block sort,
-the analog of format construction), then ``bcsr_spmm_pallas(x, prep, b,
-alpha)`` per call. Requirements: r a multiple of 8 and c a multiple of 128
-(tile alignment). Small-block matrices (e.g. the reference's 8×8) should use
-the jnp path (smmb_tpu.ops.bcsr_spmm), which is already MXU-based.
+Usage: ``prep = bcsr_prepare(w)`` once (host-side column-major block sort +
+2-bit value packing, the analog of format construction), then
+``bcsr_spmm_pallas(x, prep, b, alpha)`` per call. Requirements: r a multiple
+of 8 and c a multiple of 128 (tile alignment; MXU-tile r=128 is the fast
+path — the packed codes then sit in full (32, 128) i8 tiles).
+Small-block matrices (e.g. the reference's 8×8) should use the jnp path
+(smmb_tpu.ops.bcsr_spmm), which is already MXU-based.
 """
 
 from __future__ import annotations
@@ -46,11 +48,17 @@ class BCSRPrepared:
     kernel detects the last visit of each output tile without bounds checks.
     ``col_has_blocks`` (float 0/1 per block-column) marks output tiles that
     receive no contributions (they pass the bias through untouched).
+
+    ``values`` stores each block's ternary entries as 2-bit codes — the same
+    central insight as ``TernaryPacked`` (16× less weight traffic per stored
+    block than the round-1 float32 blocks): byte ``values[b, p, :]`` holds
+    block rows ``p, r/4+p, 2r/4+p, 3r/4+p`` in its four 2-bit fields, decoded
+    in-kernel by the int32 shift decode (see packed_spmm.py).
     """
 
     blk_row: jax.Array  # int32[k + 1]
     blk_col: jax.Array  # int32[k + 1]
-    values: jax.Array  # float32[k, r, c]
+    values: jax.Array  # int8[k, r // 4, c] (2-bit codes, 4 rows per byte)
     col_has_blocks: jax.Array  # float32[cols] (element granularity)
     rows: int
     cols: int
@@ -58,23 +66,40 @@ class BCSRPrepared:
     c: int
     k: int
 
+    def weight_bytes(self) -> int:
+        """HBM bytes per full weight read: packed codes + steering indices."""
+        return self.k * (self.r // 4) * self.c + 2 * 4 * (self.k + 1)
+
 
 def bcsr_prepare(w: BCSR) -> BCSRPrepared:
     """Host-side: permute blocks column-major for the kernel (one output tile
-    per contiguous run)."""
+    per contiguous run) and pack block values to 2-bit codes."""
     rows = np.asarray(bcsr_block_rows(w))
     cols = np.asarray(w.b_col_idx)
     order = np.lexsort((rows, cols))  # sort by col, then row
     blk_row = np.concatenate([rows[order], [-1]]).astype(np.int32)
     blk_col = np.concatenate([cols[order], [-1]]).astype(np.int32)
-    values = np.asarray(w.b_values)[order]
+    values = np.asarray(w.b_values)[order]  # (k, r, c) float ternary
+    if w.r % 4:
+        raise ValueError(f"bcsr_prepare needs r % 4 == 0, got r={w.r}")
+    sub = w.r // 4
+    t = np.zeros(values.shape, np.int8)
+    t[values == 1.0] = 1
+    t[values == -1.0] = -1
+    codes = (t & 3).astype(np.uint8).reshape(len(values), 4, sub, w.c)
+    packed = (
+        codes[:, 0]
+        | (codes[:, 1] << 2)
+        | (codes[:, 2] << 4)
+        | (codes[:, 3] << 6)
+    ).astype(np.int8)
     has = np.zeros(w.bc, np.float32)
     has[cols] = 1.0
     has_elem = np.repeat(has, w.c)
     return BCSRPrepared(
         blk_row=jnp.asarray(blk_row),
         blk_col=jnp.asarray(blk_col),
-        values=jnp.asarray(values),
+        values=jnp.asarray(packed),
         col_has_blocks=jnp.asarray(has_elem),
         rows=w.rows,
         cols=w.cols,
@@ -84,7 +109,10 @@ def bcsr_prepare(w: BCSR) -> BCSRPrepared:
     )
 
 
-def _kernel(blk_row_ref, blk_col_ref, x_ref, v_ref, yin_ref, out_ref, *, alpha):
+def _kernel(
+    blk_row_ref, blk_col_ref, x_ref, v_ref, yin_ref, out_ref, wdec_ref,
+    *, alpha, sub
+):
     i = pl.program_id(1)  # block index (grid dim 0 tiles M)
     col = blk_col_ref[i]
     prev_col = blk_col_ref[jnp.maximum(i - 1, 0)]
@@ -92,12 +120,35 @@ def _kernel(blk_row_ref, blk_col_ref, x_ref, v_ref, yin_ref, out_ref, *, alpha):
     # out_ref holds this output tile's running sum while consecutive grid
     # steps revisit it; on the first visit seed from the bias-filled yin.
     base = jnp.where(first, yin_ref[:], out_ref[:])
+    # f32 x must force HIGHEST or the MXU silently runs single-pass bf16,
+    # breaking the 1e-4 parity contract
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if x_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    # 2-bit block decode: int32 shift sign-extend (the measured-fastest
+    # decode, see packed_spmm) into a (r, c) VMEM scratch, then ONE
+    # full-depth MXU dot. Decoding into the scratch keeps all writes on the
+    # cheap sublane axis; the earlier 4×(bm, sub)·(sub, c) sub-dot variant
+    # sliced x on the LANE axis at offsets sub, 2·sub, 3·sub — cross-lane
+    # relayouts that measured 109 µs vs 7.6 µs on the 2048² case (v5e,
+    # 2026-08-17). Weight HBM traffic per stored block is ÷16 vs fp32.
+    w32 = v_ref[0].astype(jnp.int32)
+    for p in range(4):
+        wdec_ref[p * sub : (p + 1) * sub, :] = (
+            (w32 << (30 - 2 * p)) >> 30
+        ).astype(wdec_ref.dtype)
     acc = base + jnp.dot(
-        x_ref[:], v_ref[0], preferred_element_type=jnp.float32
+        x_ref[:],
+        wdec_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=precision,
     )
     if alpha is not None:
         last = blk_col_ref[i + 1] != col  # sentinel keeps i+1 in bounds
         acc = jnp.where(jnp.logical_and(last, acc < 0), alpha * acc, acc)
+    # out (always f32 — see wrapper) carries partial sums between visits
     out_ref[:] = acc
 
 
@@ -115,15 +166,21 @@ def bcsr_spmm_pallas(
 ) -> jax.Array:
     """``Y = prelu(X @ W + B, alpha)`` over large-block BCSR weights.
 
-    X: (M, K); W: prepared BCSR with rows=K, cols=N, r % 8 == 0, c % 128 == 0.
+    X: (M, K); W: prepared BCSR with rows=K, cols=N, r % 128 == 0,
+    c % 128 == 0 (Mosaic requires the x-slice lane dim — r — and every
+    block's last dim to be 128-aligned; verified on v5e 2026-08-17).
     Output columns holding no blocks come back as (activated) bias rows.
     """
     m, k = x.shape
     if k != w.rows:
         raise ValueError(f"x K dim {k} != weight rows {w.rows}")
-    if w.r % 8 or w.c % 128:
+    interp = use_interpret(interpret)
+    if w.c % 128 or (not interp and w.r % 128):
+        # Mosaic lowering needs 128-aligned lane dims; interpret mode
+        # (CPU semantics tests) only needs the c alignment the packed
+        # value layout itself assumes
         raise ValueError(
-            f"kernel needs r%8==0 and c%128==0 blocks, got ({w.r},{w.c}); "
+            f"kernel needs r%128==0 and c%128==0 blocks, got ({w.r},{w.c}); "
             "use smmb_tpu.ops.bcsr_spmm for small blocks"
         )
     bias = (
@@ -138,9 +195,12 @@ def bcsr_spmm_pallas(
         seed_bias = jnp.where(w.col_has_blocks > 0, bias, act)
     else:
         seed_bias = bias
-    y_init = jnp.broadcast_to(seed_bias, (m, w.cols)).astype(x.dtype)
+    # the output buffer carries partial sums between block visits — keep it
+    # f32 regardless of x.dtype (bf16 partials rounded per visit measured
+    # 4.4e-1 err at K=2048 on v5e; f32 carrier leaves only the x-cast noise)
+    y_init = jnp.broadcast_to(seed_bias, (m, w.cols))
     if w.k == 0:
-        return y_init
+        return y_init.astype(x.dtype)
 
     bm = min(block_m, round_up(m, 8))
     mp = round_up(m, bm)
@@ -158,7 +218,7 @@ def bcsr_spmm_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, w.r, w.c), lambda mi, i, br, bc: (i, 0, 0),
+                (1, w.r // 4, w.c), lambda mi, i, br, bc: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -170,13 +230,15 @@ def bcsr_spmm_pallas(
             (bm, w.c), lambda mi, i, br, bc: (mi, bc[i]),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((w.r, w.c), x.dtype)],
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, alpha=alpha),
+        functools.partial(_kernel, alpha=alpha, sub=w.r // 4),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((mp, w.cols), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((mp, w.cols), jnp.float32),
         input_output_aliases={4: 0},  # yq (5th input incl. scalars) -> out
-        interpret=use_interpret(interpret),
+        interpret=interp,
     )(w.blk_row, w.blk_col, xq, w.values, yq)
+    out = out.astype(x.dtype)
     return out[:m] if mp != m else out
