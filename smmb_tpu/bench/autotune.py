@@ -43,6 +43,31 @@ _CANDIDATES = [
     {"block_m": 128, "block_n": 512, "block_k": 2048},
 ]
 
+# int8 (W2A8) serving mode: the int8 MXU halves matmul time, so the decode
+# can become the bottleneck — the fold decode's per-plane int32
+# accumulators halve decode lane-ops (v5e probe 2026-08-17: shift 50.7us /
+# fold 51.5us at 256x4096x4096 — within noise; keep both as candidates)
+_CANDIDATES_INT8_EXTRA = [
+    {"block_m": 256, "block_n": 512, "block_k": 2048, "decode": "fold"},
+    {"block_m": 256, "block_n": 1024, "block_k": 1024, "decode": "fold"},
+]
+
+# weight-streaming regime (M <= 32): large N/K tiles minimize grid steps
+# per byte of weight traffic
+_CANDIDATES_SMALL_M = [
+    {"block_m": 8, "block_n": 1024, "block_k": 1024},
+    {"block_m": 8, "block_n": 2048, "block_k": 1024},
+    {"block_m": 8, "block_n": 2048, "block_k": 512},
+    {"block_m": 8, "block_n": 512, "block_k": 2048},
+]
+
+
+def default_candidates(m: int, dtype) -> list:
+    cands = list(_CANDIDATES_SMALL_M if m <= 32 else _CANDIDATES)
+    if jnp.dtype(dtype) == jnp.int8:
+        cands += _CANDIDATES_INT8_EXTRA
+    return cands
+
 
 def _key(m, k, n, dtype):
     dev = jax.devices()[0].device_kind.replace(" ", "_")
@@ -79,7 +104,7 @@ def autotune_packed_spmm(
     x = rng.rand_dense(kx, (m, k))
     p = pack_ternary(np.asarray(rng.rand_ternary(kw, (k, n), non_zero)))
     best, best_t = None, float("inf")
-    for cand in candidates or _CANDIDATES:
+    for cand in candidates or default_candidates(m, dtype):
         if cand["block_k"] % GROUP_ROWS:
             continue
 

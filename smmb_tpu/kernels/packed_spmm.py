@@ -50,6 +50,9 @@ from smmb_tpu.utils.shapes import round_up
 def _kernel(*refs, nk, alpha, compute_dtype, decode):
     quant = compute_dtype == jnp.int8
     fold = decode == "fold"
+    scratch = decode == "scratch"
+    if scratch:
+        refs, wdec_ref = refs[:-1], refs[-1]
     if quant:
         x_ref, w_ref, b_ref, s_ref, o_ref, acc_ref = refs
     else:
@@ -74,6 +77,27 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
     x = x_ref[:]
     groups = w_ref.shape[0] // SUB
     acc = None if (quant and fold) else acc_ref[:]
+    if scratch:
+        # weight-streaming (small-M) mode: decode every plane into a
+        # (BK, BN) VMEM scratch (sublane-axis writes), then ONE full-depth
+        # MXU dot per grid step. Per-plane dots cost a separate short MXU
+        # pass each (8 per step at bk=1024) — fine when M is large enough
+        # to hide them, dominant at M=1 (measured 15.1us -> see RESULTS.md
+        # for the scratch number, 1x4096x4096 bf16 on v5e).
+        for gi in range(groups):
+            block = w_ref[gi * SUB : (gi + 1) * SUB, :].astype(jnp.int32)
+            for i in range(VALUES_PER_BYTE):
+                base = gi * GROUP_ROWS + i * SUB
+                wdec_ref[base : base + SUB, :] = (
+                    (block << (30 - 2 * i)) >> 30
+                ).astype(wdec_ref.dtype)
+        acc = acc + jnp.dot(
+            x,
+            wdec_ref[:],
+            preferred_element_type=acc_t,
+            precision=precision,
+        )
+        groups = 0  # skip the per-plane loop below
     for gi in range(groups):
         wb = w_ref[gi * SUB : (gi + 1) * SUB, :]
         if decode == "cmp":
@@ -200,6 +224,11 @@ def packed_spmm(
         the bottleneck on current v5e toolchains. Kept as the fallback for
         toolchains where int32 shifts regress, and as the in-kernel decode
         style the BCSR block kernel reuses.
+      * ``"scratch"`` — shift-decode every plane into a (BK, BN) VMEM
+        scratch, then one full-depth MXU dot per grid step instead of one
+        short dot per plane. The per-plane dots each cost a separate MXU
+        pass whose fixed latency dominates at tiny M; the weight-streaming
+        regime (M ≤ 32) defaults to this mode.
       * ``"cmp"`` — int8 bitmask tests; interpret-validated but hits a
         pathological multi-minute Mosaic compile on v5e (docs/ROADMAP.md #1).
 
@@ -328,7 +357,12 @@ def packed_spmm(
                 else (bm, bn),
                 jnp.int32 if quant else jnp.float32,
             )
-        ],
+        ]
+        + (
+            [pltpu.VMEM((bk, bn), jnp.int8 if quant else compute_dtype)]
+            if decode == "scratch"
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -247,3 +247,24 @@ def test_bcsr_pallas_large_batch():
     ref = gemm(x, jnp.asarray(w))
     y = bcsr_spmm_pallas(x, prep, None, block_m=64)
     assert_close(y, ref, TOL_DENSE, "bcsr pallas M>block_m")
+
+
+@pytest.mark.parametrize("decode", ["fold", "scratch"])
+@pytest.mark.parametrize("dtype", ["f32", "bf16", "int8"])
+def test_packed_spmm_decode_variants(decode, dtype):
+    # every decode strategy must match the dense oracle in every compute
+    # mode (fold: folded 4^i plane scales divide back out exactly;
+    # scratch: decode-to-VMEM + single full-depth dot)
+    dt = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}[dtype]
+    x, w, b = _setup(23, 5, 1024, 640)
+    ref = np.asarray(x, np.float64) @ w.astype(np.float64) + np.asarray(
+        b, np.float64
+    )
+    p = pack_ternary(w)
+    y = packed_spmm(x, p, b, compute_dtype=dt, decode=decode)
+    tol = {"f32": TOL_DENSE, "bf16": 0.2, "int8": 0.6}[dtype]
+    assert_close(y, ref, tol, f"packed {decode} {dtype}")
+    # fused prelu epilogue on top of each decode
+    yp = packed_spmm(x, p, b, alpha=ALPHA, compute_dtype=dt, decode=decode)
+    refp = np.where(ref > 0, ref, ALPHA * ref)
+    assert_close(yp, refp, tol, f"packed {decode} {dtype} prelu")
