@@ -267,7 +267,11 @@ def packed_spmm(
     if block_m is None:
         block_m = 256
     if block_n is None:
-        block_n = 512 if m > 32 else 1024
+        # weight-streaming regime: wide N-tiles amortize per-dot MXU pass
+        # overhead, but only once K is deep enough that decode dominates
+        # (v5e probes 2026-08-17: 1x4096x4096 13.7us bn4096 vs 15.1us
+        # bn1024; 1x1024x4096 5.9us bn4096 vs 5.2us bn1024)
+        block_n = 512 if m > 32 else (4096 if k >= 4096 else 1024)
     if block_k is None:
         # large K-tiles amortize accumulator traffic and interleave decode
         # with the MXU better (v5e sweep: 512->2048 took the headline config
