@@ -15,7 +15,7 @@ MODE=${1:-all}
 
 # reference sweep times 4 kernels (GEMM/sGEMM ± PReLU, SparseGEMM.cpp:149-156);
 # ours adds the serving modes + the 8x8-block BCSR compatibility row
-SWEEP_KERNELS="dense,dense_prelu,packed_kernel_bf16,packed_kernel_prelu,packed_kernel_w2a8,bcsr"
+SWEEP_KERNELS="dense,dense_prelu,packed_kernel,packed_kernel_prelu,packed_kernel_bf16,packed_kernel_w2a8,bcsr"
 
 if [[ "$MODE" == "showcase" || "$MODE" == "all" ]]; then
   echo "== showcase (main.cpp case list x full kernel registry)"
