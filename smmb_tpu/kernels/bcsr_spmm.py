@@ -111,7 +111,7 @@ def bcsr_prepare(w: BCSR) -> BCSRPrepared:
 
 def _kernel(
     blk_row_ref, blk_col_ref, x_ref, v_ref, yin_ref, out_ref, wdec_ref,
-    *, alpha, sub
+    *, alpha, sub, x_resident
 ):
     i = pl.program_id(1)  # block index (grid dim 0 tiles M)
     col = blk_col_ref[i]
@@ -139,8 +139,17 @@ def _kernel(
         wdec_ref[p * sub : (p + 1) * sub, :] = (
             (w32 << (30 - 2 * p)) >> 30
         ).astype(wdec_ref.dtype)
+    if x_resident:
+        # x-resident mode (ROADMAP #5): the whole (bm, K) x panel sits in
+        # VMEM for the M-tile; slice this block's (bm, r) piece at a
+        # dynamic lane offset — always a multiple of 128 (r % 128 == 0),
+        # so no cross-lane relayout. Kills the per-block x panel re-DMA
+        # (~5× the dense x traffic at 30% block density).
+        xs = x_ref[:, pl.ds(blk_row_ref[i] * (4 * sub), 4 * sub)]
+    else:
+        xs = x_ref[:]
     acc = base + jnp.dot(
-        x_ref[:],
+        xs,
         wdec_ref[:],
         preferred_element_type=jnp.float32,
         precision=precision,
@@ -153,7 +162,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("alpha", "block_m", "interpret")
+    jax.jit, static_argnames=("alpha", "block_m", "interpret", "x_resident")
 )
 def bcsr_spmm_pallas(
     x: jax.Array,
@@ -163,6 +172,7 @@ def bcsr_spmm_pallas(
     *,
     block_m: int = 256,
     interpret: bool | None = None,
+    x_resident: bool | None = None,
 ) -> jax.Array:
     """``Y = prelu(X @ W + B, alpha)`` over large-block BCSR weights.
 
@@ -170,6 +180,13 @@ def bcsr_spmm_pallas(
     c % 128 == 0 (Mosaic requires the x-slice lane dim — r — and every
     block's last dim to be 128-aligned; verified on v5e 2026-08-17).
     Output columns holding no blocks come back as (activated) bias rows.
+
+    ``x_resident`` keeps the full (block_m, K) activation panel in VMEM per
+    M-tile and slices each block's (bm, r) piece in-kernel at a dynamic
+    128-aligned lane offset, instead of re-DMAing the panel once per stored
+    block (which costs ~(stored blocks per block-row)× the dense x
+    traffic — the kernel's HBM floor at low M). None = auto: on when the
+    panel fits in a 4 MB VMEM budget.
     """
     m, k = x.shape
     if k != w.rows:
@@ -206,6 +223,8 @@ def bcsr_spmm_pallas(
     mp = round_up(m, bm)
     xq = jnp.pad(x, ((0, mp - m), (0, 0))) if mp != m else x
     yq = jnp.pad(y_init, ((0, mp - m), (0, 0))) if mp != m else y_init
+    if x_resident is None:
+        x_resident = bm * k * x.dtype.itemsize <= 4 * 1024 * 1024
 
     # grid dim 0 tiles the batch (outer, so each M-tile walks all blocks in
     # column-major order); dim 1 walks the stored blocks
@@ -214,6 +233,11 @@ def bcsr_spmm_pallas(
         grid=(mp // bm, w.k),
         in_specs=[
             pl.BlockSpec(
+                (bm, k), lambda mi, i, br, bc: (mi, 0),
+                memory_space=pltpu.VMEM,
+            )
+            if x_resident
+            else pl.BlockSpec(
                 (bm, w.r), lambda mi, i, br, bc: (mi, br[i]),
                 memory_space=pltpu.VMEM,
             ),
@@ -234,7 +258,9 @@ def bcsr_spmm_pallas(
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, alpha=alpha, sub=w.r // 4),
+        functools.partial(
+            _kernel, alpha=alpha, sub=w.r // 4, x_resident=x_resident
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mp, w.cols), jnp.float32),
         input_output_aliases={4: 0},  # yq (5th input incl. scalars) -> out

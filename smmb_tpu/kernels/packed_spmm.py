@@ -50,6 +50,13 @@ from smmb_tpu.utils.shapes import round_up
 def _kernel(*refs, nk, alpha, compute_dtype, decode):
     quant = compute_dtype == jnp.int8
     fold = decode == "fold"
+    # fold planes carry a 4^i scale removed in the epilogue ⇒ one
+    # accumulator per plane index (int32 shift-combine in int8 mode, f32
+    # multiply-combine otherwise — both exact, the scales are powers of
+    # two). Round-1 divided the scale out of the *activations* instead for
+    # float dtypes; that extra XLA pre-scale op is what cost fold the M=1
+    # comparison (6.7 vs 5.2 µs), so every mode is per-plane now.
+    per_plane = fold
     scratch = decode == "scratch"
     if scratch:
         refs, wdec_ref = refs[:-1], refs[-1]
@@ -76,14 +83,13 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
     # would repeat per N-tile since the x block only depends on (m, k))
     x = x_ref[:]
     groups = w_ref.shape[0] // SUB
-    acc = None if (quant and fold) else acc_ref[:]
+    acc = None if per_plane else acc_ref[:]
     if scratch:
-        # weight-streaming (small-M) mode: decode every plane into a
-        # (BK, BN) VMEM scratch (sublane-axis writes), then ONE full-depth
-        # MXU dot per grid step. Per-plane dots cost a separate short MXU
-        # pass each (8 per step at bk=1024) — fine when M is large enough
-        # to hide them, dominant at M=1 (measured 15.1us -> see RESULTS.md
-        # for the scratch number, 1x4096x4096 bf16 on v5e).
+        # decode every plane into a (BK, BN) VMEM scratch (sublane-axis
+        # writes), then ONE full-depth MXU dot per grid step. Measured
+        # slower than per-plane dots at every shape — the scratch write
+        # traffic is K·N·elem bytes per weight pass regardless of M (see
+        # the wrapper docstring); kept as a documented design point.
         for gi in range(groups):
             block = w_ref[gi * SUB : (gi + 1) * SUB, :].astype(jnp.int32)
             for i in range(VALUES_PER_BYTE):
@@ -120,6 +126,12 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
             # then the masked 2-bit field is a biased code u·4^i with
             # u = t+1, and adding -2·4^i recovers t·4^i. Sign extension
             # from the i8 load is irrelevant (masks only touch bits 0-7).
+            # NOTE an int8-domain fold (4 lanes/slot) is impossible on
+            # this toolchain: Mosaic rejects vector add/sub on i8 outright
+            # ("Only vector<i16> and vector<i32> are supported" —
+            # scripts/probe_i8_ops.py maps the surface: and/or/xor/cmp/
+            # select/cvt legalize, add/sub/shift do not), and the masked
+            # field is add-free only for the top plane.
             wx = wb.astype(jnp.int16) ^ jnp.int16(0xAA)
         for i in range(VALUES_PER_BYTE):
             # plane i of group gi = logical rows [base, base + SUB);
@@ -127,11 +139,9 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
             if fold:
                 # scale-folded masked decode (2 i16 ops per plane):
                 # (wx & 3·4^i) + (-2·4^i) = 4^i · ternary value.
-                # The exact power-of-two scale is divided out of the
-                # activations by the wrapper (float) or shifted out of the
-                # per-plane accumulators in the epilogue (int8 mode), so
-                # parity is bit-exact — the M=1 weight-streaming fix
-                # (docs/ROADMAP.md #1).
+                # The exact power-of-two scale is shifted (int8 mode) or
+                # multiplied (float modes) out of the per-plane
+                # accumulators in the epilogue, so parity is bit-exact.
                 field = wx & jnp.int16(3 << (2 * i))
                 plane16 = field + jnp.int16(-(2 << (2 * i)))
                 plane = plane16.astype(
@@ -156,7 +166,7 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
                 preferred_element_type=acc_t,
                 precision=precision,
             )
-            if quant and fold:
+            if per_plane:
                 # per-plane accumulators: scales 4^i divided out once in
                 # the epilogue (exact — sums are multiples of 4^i)
                 acc_ref[i] += dot
@@ -167,13 +177,21 @@ def _kernel(*refs, nk, alpha, compute_dtype, decode):
 
     @pl.when(k == nk - 1)
     def _():
-        if quant and fold:
+        if per_plane and quant:
             r = (
                 acc_ref[0]
                 + (acc_ref[1] >> 2)
                 + (acc_ref[2] >> 4)
                 + (acc_ref[3] >> 6)
             ).astype(jnp.float32)
+        elif per_plane:
+            # f32 multiply-combine: 0.25^i is an exact exponent shift
+            r = (
+                acc_ref[0]
+                + acc_ref[1] * 0.25
+                + acc_ref[2] * 0.0625
+                + acc_ref[3] * 0.015625
+            )
         else:
             r = acc_ref[:].astype(jnp.float32)
         if quant:
@@ -213,22 +231,29 @@ def packed_spmm(
 
     ``decode`` selects the VPU plane-decode strategy:
       * ``"shift"`` (default) — int32 shift sign-extend decode. Measured
-        fastest on v5e at every shape (M=1 bf16 5.46 µs, M=256 bf16
-        54.4 µs / int8 50.7 µs — scripts/probe_decode.py, 2026-08-17).
+        fastest on v5e at every shape (M=1 bf16 5.2 µs @1024×4096 /
+        13.8 µs @4096×4096; M=256 bf16 54.1 µs / int8 50.7 µs —
+        scripts/probe_decode.py + verify_r2c.py, 2026-08-17).
       * ``"fold"`` — xor+and+add masked decode in int16 (~half the VPU
-        lane-ops of "shift"); the 4^i plane scale is divided out of the
-        activations (float) or shifted out of per-plane int32 accumulators
-        (int8 mode) — bit-exact parity (all scales are exponent shifts).
-        Measured ~1 µs slower than "shift" at M=1 (the activation
-        pre-scale is an extra XLA op) and ~equal in-kernel: decode is not
-        the bottleneck on current v5e toolchains. Kept as the fallback for
-        toolchains where int32 shifts regress, and as the in-kernel decode
-        style the BCSR block kernel reuses.
+        lane-ops of "shift"; int8 would halve again but Mosaic rejects
+        vector add/sub on i8 — scripts/probe_i8_ops.py). The 4^i plane
+        scale is removed exactly in the epilogue via per-plane
+        accumulators (int32 shift-combine in int8 mode, f32
+        multiply-combine otherwise) — no activation pre-scale (round 1's
+        pre-scale variant is what lost fold the M=1 comparison, 6.7 vs
+        5.2 µs). Bit-exact parity with "shift" (all scales are exponent
+        shifts). Kept as the fallback for toolchains where int32 shifts
+        regress, and as the in-kernel decode style the BCSR block kernel
+        reuses.
       * ``"scratch"`` — shift-decode every plane into a (BK, BN) VMEM
         scratch, then one full-depth MXU dot per grid step instead of one
-        short dot per plane. The per-plane dots each cost a separate MXU
-        pass whose fixed latency dominates at tiny M; the weight-streaming
-        regime (M ≤ 32) defaults to this mode.
+        short dot per plane. Built to attack the per-plane MXU pass
+        latency at tiny M, but measured SLOWER everywhere on v5e
+        (M=1 4096² bf16 25.1 vs 13.8 µs; headline bf16 60.3 vs 54.1,
+        w2a8 55.7 vs 50.7 — verify_r2c.py 2026-08-17): the scratch writes
+        K·N·elem bytes of VMEM traffic per full weight pass regardless of
+        M (~33 MB at 4096² bf16), which swamps what the fused per-plane
+        dots avoid. Kept as the measured-and-rejected design point.
       * ``"cmp"`` — int8 bitmask tests; interpret-validated but hits a
         pathological multi-minute Mosaic compile on v5e (docs/ROADMAP.md #1).
 
@@ -309,11 +334,6 @@ def packed_spmm(
         xq = x.astype(compute_dtype)  # cast once, not per N-tile
         if mp != m or kq != k:
             xq = jnp.pad(xq, ((0, mp - m), (0, kq - k)))
-        if decode == "fold":
-            # divide the fold-decode's 4^i plane scale out of the
-            # activations (exact: power-of-two exponent shift in bf16/f32)
-            plane_i = (jnp.arange(kq) % GROUP_ROWS) // SUB
-            xq = xq * (0.25 ** plane_i).astype(xq.dtype)[None, :]
         sq = None
     wq = w.data
     bq = jnp.zeros((1, npad), jnp.float32)
@@ -356,9 +376,7 @@ def packed_spmm(
         out_shape=jax.ShapeDtypeStruct((mp, npad), out_dtype),
         scratch_shapes=[
             pltpu.VMEM(
-                (VALUES_PER_BYTE, bm, bn)
-                if (quant and decode == "fold")
-                else (bm, bn),
+                (VALUES_PER_BYTE, bm, bn) if decode == "fold" else (bm, bn),
                 jnp.int32 if quant else jnp.float32,
             )
         ]
