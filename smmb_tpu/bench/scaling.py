@@ -10,6 +10,8 @@ efficiency at 2+ hosts" metric — for all three weight partitionings:
   (parallel/sharded.py:sharded_spmm_row)
 * ``overlap`` — column sharding with the ring-overlapped activation
   all-gather collective matmul (parallel/overlap.py)
+* ``bcsr_column`` — block-column-sharded BCSR (30% stored 128×128 blocks;
+  parallel/bcsr_sharded.py — ragged block lists padded to static shapes)
 
 On CI this runs on the virtual CPU mesh (numbers are not meaningful, the
 machinery is what's exercised); on a real pod slice the same code reports
@@ -35,7 +37,7 @@ from smmb_tpu.parallel.sharded import (
 )
 from smmb_tpu.utils import rng
 
-PARTITIONINGS = ("column", "row", "overlap")
+PARTITIONINGS = ("column", "row", "overlap", "bcsr_column")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,7 +76,26 @@ def run_scaling(
     x = rng.rand_dense(kx, (m, k))
     w_np = np.asarray(rng.rand_ternary(kw, (k, n), non_zero=non_zero))
     b = rng.rand_dense(kb, (n,))
-    p = pack_ternary(w_np)
+    if partitioning == "bcsr_column":
+        # block-sparse workload: 30% stored 128x128 blocks, ternary inside
+        from smmb_tpu.formats.bcsr import bcsr_from_dense
+        from smmb_tpu.kernels.bcsr_spmm import bcsr_prepare
+        from smmb_tpu.parallel.bcsr_sharded import (
+            shard_bcsr_columns,
+            sharded_bcsr_spmm,
+        )
+
+        km = jax.random.split(jax.random.PRNGKey(7))[0]
+        bmask = np.asarray(
+            jax.random.bernoulli(km, 0.3, (k // 128, n // 128))
+        )
+        wb_np = (
+            w_np * np.repeat(np.repeat(bmask, 128, 0), 128, 1)
+        ).astype(np.float32)
+        prep = bcsr_prepare(bcsr_from_dense(wb_np, 128, 128))
+        bcsr_nnz = int(np.count_nonzero(wb_np))
+    else:
+        p = pack_ternary(w_np)
 
     points: list[ScalePoint] = []
     base_rate = None
@@ -84,6 +105,24 @@ def run_scaling(
         if ndev > len(jax.devices()):
             continue
         mesh = make_mesh(data, model)
+        if partitioning == "bcsr_column":
+            shards = shard_bcsr_columns(prep, mesh)
+
+            def fn(x, shards, b, _mesh=mesh):
+                return sharded_bcsr_spmm(x, shards, b, mesh=_mesh)
+
+            meas = measure_device(fn, x, shards, b, iters=iters, reps=reps)
+            rate = bcsr_nnz * m / meas.mean_s
+            if base_rate is None:
+                base_rate, base_dev = rate, ndev
+            eff = rate / (base_rate * ndev / base_dev)
+            points.append(
+                ScalePoint(
+                    partitioning, ndev, f"{data}x{model}", meas.mean_s,
+                    rate, eff,
+                )
+            )
+            continue
         if partitioning == "row":
             ws = shard_packed_rows(p, mesh)
             spmm = sharded_spmm_row

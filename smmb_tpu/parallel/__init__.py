@@ -1,3 +1,7 @@
+from smmb_tpu.parallel.bcsr_sharded import (
+    shard_bcsr_columns,
+    sharded_bcsr_spmm,
+)
 from smmb_tpu.parallel.mesh import make_mesh
 from smmb_tpu.parallel.overlap import sharded_spmm_column_overlapped
 from smmb_tpu.parallel.sharded import (

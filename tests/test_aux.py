@@ -39,7 +39,7 @@ def test_annotate_context():
 
 
 def test_scaling_harness_cpu():
-    for part in ("column", "row", "overlap"):
+    for part in ("column", "row", "overlap", "bcsr_column"):
         pts = run_scaling(
             m=8, k=1024, n=1024, non_zero=2,
             mesh_shapes=((1, 1), (1, 2)), partitioning=part,

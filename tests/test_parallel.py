@@ -141,3 +141,72 @@ def test_overlapped_column_validation():
 
     with _pytest.raises(ValueError):
         sharded_spmm_column_overlapped(x, p, b, mesh=mesh)
+
+
+def _bcsr_setup(seed, m, dim, empty_last_quarter=False):
+    # block-sparse ternary weights with deliberately NON-uniform block
+    # density so per-shard stored-block counts differ (exercises the
+    # ragged-to-static padding in parallel/bcsr_sharded.py)
+    from smmb_tpu.formats.bcsr import bcsr_from_dense
+    from smmb_tpu.kernels.bcsr_spmm import bcsr_prepare
+
+    r = c = 128
+    k1, k2, kx, kb = jax.random.split(jax.random.PRNGKey(seed), 4)
+    bgrid = (dim // r, dim // c)
+    # column-dependent block probability: left columns dense, right sparse
+    pcol = np.linspace(0.9, 0.1, bgrid[1])[None, :]
+    mask = np.asarray(jax.random.uniform(k1, bgrid)) < pcol
+    if empty_last_quarter:
+        mask[:, 3 * bgrid[1] // 4:] = False
+    tern = np.asarray(rng.rand_ternary(k2, (dim, dim), non_zero=2))
+    wd = (tern * np.repeat(np.repeat(mask, r, 0), c, 1)).astype(np.float32)
+    x = rng.rand_dense(kx, (m, dim))
+    b = rng.rand_dense(kb, (dim,))
+    prep = bcsr_prepare(bcsr_from_dense(wd, r, c))
+    return x, wd, b, prep
+
+
+@pytest.mark.parametrize("data,model", [(1, 4), (2, 4)])
+def test_bcsr_sharded_column_parity(data, model):
+    from smmb_tpu.parallel import shard_bcsr_columns, sharded_bcsr_spmm
+
+    mesh = make_mesh(data, model)
+    x, wd, b, prep = _bcsr_setup(31, 16, 1024)
+    shards = shard_bcsr_columns(prep, mesh)
+    # ragged for real: per-shard stored-block counts must differ for this
+    # test to bite (the padding path is the thing under test)
+    bc_local = 1024 // model // 128
+    shard_of = np.asarray(prep.blk_col)[:-1] // bc_local
+    counts = np.bincount(shard_of, minlength=model)
+    assert counts.max() > counts.min()
+    ref = gemm_prelu(x, jnp.asarray(wd), b, ALPHA)
+    y = sharded_bcsr_spmm(x, shards, b, mesh=mesh, alpha=ALPHA)
+    assert_close(y, ref, TOL_DENSE, f"bcsr column {data}x{model}")
+
+
+def test_bcsr_sharded_empty_shard():
+    # a whole model shard owns zero blocks: its dummies re-activate the
+    # pre-activated bias seed (idempotent epilogue path)
+    from smmb_tpu.parallel import shard_bcsr_columns, sharded_bcsr_spmm
+
+    mesh = make_mesh(1, 4)
+    x, wd, b, prep = _bcsr_setup(32, 8, 1024, empty_last_quarter=True)
+    shards = shard_bcsr_columns(prep, mesh)
+    ref = gemm_prelu(x, jnp.asarray(wd), b, ALPHA)
+    y = sharded_bcsr_spmm(x, shards, b, mesh=mesh, alpha=ALPHA)
+    assert_close(y, ref, TOL_DENSE, "bcsr empty shard")
+    # no-alpha path too
+    ref2 = gemm(x, jnp.asarray(wd), b)
+    y2 = sharded_bcsr_spmm(x, shards, b, mesh=mesh)
+    assert_close(y2, ref2, TOL_DENSE, "bcsr empty shard no alpha")
+
+
+def test_bcsr_sharded_validation():
+    from smmb_tpu.parallel import shard_bcsr_columns, sharded_bcsr_spmm
+
+    mesh = make_mesh(1, 8)
+    # 1152 = 9 x 128 block-cols: not divisible into 8 column shards
+    x, wd, b, prep = _bcsr_setup(33, 8, 1152)
+    with pytest.raises(ValueError):
+        shard_bcsr_columns(prep, mesh)
+    del sharded_bcsr_spmm  # imported for symmetry; validation is host-side
