@@ -107,7 +107,10 @@ def _block_sparse_matrix(seed, k, n, r, c, keep=0.3):
     return w
 
 
-def test_bcsr_pallas_parity():
+@pytest.mark.parametrize("x_resident", [True, False])
+def test_bcsr_pallas_parity(x_resident):
+    # both activation-staging modes: resident (bm, K) panel with in-kernel
+    # block slicing vs per-block (bm, r) panel DMA
     from smmb_tpu.formats.bcsr import bcsr_from_dense
     from smmb_tpu.kernels.bcsr_spmm import bcsr_prepare, bcsr_spmm_pallas
 
@@ -119,11 +122,11 @@ def test_bcsr_pallas_parity():
     x = rng.rand_dense(kx, (16, 512))
     b = rng.rand_dense(kb, (512,))
     ref = gemm(x, jnp.asarray(w), b)
-    y = bcsr_spmm_pallas(x, prep, b)
+    y = bcsr_spmm_pallas(x, prep, b, x_resident=x_resident)
     assert_close(y, ref, TOL_DENSE, "bcsr pallas")
     # fused prelu — incl. activation of empty-column bias
     refp = gemm_prelu(x, jnp.asarray(w), b, ALPHA)
-    yp = bcsr_spmm_pallas(x, prep, b, alpha=ALPHA)
+    yp = bcsr_spmm_pallas(x, prep, b, alpha=ALPHA, x_resident=x_resident)
     assert_close(yp, refp, TOL_DENSE, "bcsr pallas prelu")
 
 
