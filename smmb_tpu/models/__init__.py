@@ -18,3 +18,13 @@ from smmb_tpu.models.transformer import (
     init_block,
     pack_block,
 )
+from smmb_tpu.models.lm import (
+    TernaryLMConfig,
+    generate,
+    init_lm,
+    lm_decode_step,
+    lm_forward,
+    lm_init_cache,
+    lm_prefill,
+    pack_lm,
+)

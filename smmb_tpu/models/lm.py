@@ -1,0 +1,238 @@
+"""Tiny ternary causal language model: the end-to-end serving showpiece.
+
+Composes the framework's model stack — token + learned-position embeddings,
+N pre-norm ternary transformer blocks (models/transformer.py), a final
+RMSNorm, and a ternary LM head — into a complete decoder-only LM with the
+two serving entry points a production stack needs:
+
+* ``lm_prefill`` — prompt pass filling the per-block KV caches.
+* ``lm_decode_step`` / ``generate`` — O(T·D) incremental decode; ``generate``
+  is a single jitted ``lax.scan`` over greedy steps (static shapes: the
+  cache pytree is preallocated at ``max_len``).
+
+Every matmul FLOP (QKV/out projections, MLP halves, LM head) runs through
+the 2-bit packed Pallas SpMM; embeddings and norms are the tiny dense
+remainder, as in ternary-LLM recipes (BitNet-style). Attention is
+position-free, so sequence order comes from the learned positional table.
+
+No reference analog (the reference stops at single layers,
+/root/reference/main.cpp:258-268); this is the BASELINE.json north-star
+"serving completeness" direction.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from smmb_tpu.models.transformer import (
+    TernaryBlockConfig,
+    block_decode_step,
+    block_forward,
+    block_prefill,
+    init_block,
+    init_block_cache,
+    pack_block,
+    rmsnorm,
+)
+from smmb_tpu.ops.spmm import packed_spmm_jnp
+from smmb_tpu.kernels.packed_spmm import packed_spmm
+from smmb_tpu.formats.packed import pack_ternary_device
+from smmb_tpu.utils import rng
+
+
+@dataclasses.dataclass(frozen=True)
+class TernaryLMConfig:
+    vocab: int
+    d_model: int
+    n_heads: int
+    d_ff: int
+    n_layers: int
+    max_len: int = 1024
+    alpha: float = 0.2
+    non_zero: int = 2
+    eps: float = 1e-6
+
+    @property
+    def block(self) -> TernaryBlockConfig:
+        return TernaryBlockConfig(
+            d_model=self.d_model,
+            n_heads=self.n_heads,
+            d_ff=self.d_ff,
+            alpha=self.alpha,
+            causal=True,
+            non_zero=self.non_zero,
+            eps=self.eps,
+        )
+
+
+def init_lm(key: jax.Array, cfg: TernaryLMConfig) -> dict:
+    """Dense embeddings/norms + ternary master weights for blocks and head."""
+    ke, kp, kh, kb = jax.random.split(key, 4)
+    blocks = []
+    for k in jax.random.split(kb, cfg.n_layers):
+        blocks.append(init_block(k, cfg.block))
+    scale = 1.0 / jnp.sqrt(jnp.float32(cfg.d_model))
+    return {
+        "embed": rng.rand_dense(ke, (cfg.vocab, cfg.d_model)) * scale,
+        "pos": rng.rand_dense(kp, (cfg.max_len, cfg.d_model)) * scale,
+        "blocks": blocks,
+        "norm_f": jnp.ones((cfg.d_model,)),
+        "head": rng.rand_ternary(
+            kh, (cfg.d_model, cfg.vocab), non_zero=cfg.non_zero
+        ),
+    }
+
+
+def pack_lm(params: dict, quantize: bool = False) -> dict:
+    """Master weights → 2-bit packed serving weights (blocks + LM head)."""
+    head = params["head"]
+    head_scale = 1.0
+    if quantize:
+        from smmb_tpu.models.train import absmean_scale, ternarize_ste
+
+        head_scale = absmean_scale(head)
+        head = ternarize_ste(head)
+    return {
+        "embed": params["embed"],
+        "pos": params["pos"],
+        "blocks": [pack_block(b, quantize=quantize) for b in params["blocks"]],
+        "norm_f": params["norm_f"],
+        "head": pack_ternary_device(head),
+        "head_scale": jnp.float32(head_scale),
+    }
+
+
+def _head_logits(packed, h, cfg, compute_dtype, use_kernel):
+    b, t, d = h.shape
+    h2 = h.reshape(b * t, d)
+    if use_kernel:
+        y = packed_spmm(h2, packed["head"], compute_dtype=compute_dtype)
+    else:
+        y = packed_spmm_jnp(h2, packed["head"], dtype=jnp.float32)
+    return (y * packed["head_scale"]).reshape(b, t, cfg.vocab)
+
+
+def lm_forward(
+    packed: dict,
+    tokens: jax.Array,
+    cfg: TernaryLMConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+) -> jax.Array:
+    """Full causal forward: (B, T) int tokens → (B, T, vocab) logits.
+
+    ``precision`` reaches the attention einsums (pass HIGHEST for
+    decode-vs-full parity; the TPU default rounds the full and incremental
+    paths differently at bf16 noise level).
+    """
+    b, t = tokens.shape
+    x = packed["embed"][tokens] + packed["pos"][None, :t]
+    for blk in packed["blocks"]:
+        x = block_forward(
+            blk, x, cfg.block,
+            compute_dtype=compute_dtype, use_kernel=use_kernel,
+            precision=precision,
+        )
+    h = rmsnorm(x, packed["norm_f"], cfg.eps)
+    return _head_logits(packed, h, cfg, compute_dtype, use_kernel)
+
+
+def lm_init_cache(cfg: TernaryLMConfig, batch: int, dtype=jnp.float32):
+    return [
+        init_block_cache(cfg.block, batch, cfg.max_len, dtype=dtype)
+        for _ in range(cfg.n_layers)
+    ]
+
+
+def lm_prefill(
+    packed: dict,
+    tokens: jax.Array,
+    cache: list,
+    cfg: TernaryLMConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+):
+    """Prompt pass: returns (last-position logits (B, vocab), filled cache)."""
+    b, t = tokens.shape
+    x = packed["embed"][tokens] + packed["pos"][None, :t]
+    new_cache = []
+    for blk, c in zip(packed["blocks"], cache):
+        x, c = block_prefill(
+            blk, x, c, cfg.block,
+            compute_dtype=compute_dtype, use_kernel=use_kernel,
+            precision=precision,
+        )
+        new_cache.append(c)
+    h = rmsnorm(x, packed["norm_f"], cfg.eps)
+    logits = _head_logits(packed, h, cfg, compute_dtype, use_kernel)
+    return logits[:, -1], new_cache
+
+
+def lm_decode_step(
+    packed: dict,
+    token_t: jax.Array,
+    cache: list,
+    cfg: TernaryLMConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+):
+    """One decode step: (B,) int tokens → ((B, vocab) logits, cache).
+
+    Reads the position from the first block's cache (all blocks advance in
+    lockstep); O(T·D) per step via the per-block KV caches.
+    """
+    pos = cache[0]["pos"]
+    x = packed["embed"][token_t][:, None, :] + packed["pos"][pos][None, None]
+    new_cache = []
+    for blk, c in zip(packed["blocks"], cache):
+        x, c = block_decode_step(
+            blk, x, c, cfg.block,
+            compute_dtype=compute_dtype, use_kernel=use_kernel,
+            precision=precision,
+        )
+        new_cache.append(c)
+    h = rmsnorm(x, packed["norm_f"], cfg.eps)
+    logits = _head_logits(packed, h, cfg, compute_dtype, use_kernel)
+    return logits[:, 0], new_cache
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "steps", "compute_dtype", "use_kernel")
+)
+def generate(
+    packed: dict,
+    prompt: jax.Array,
+    cfg: TernaryLMConfig,
+    steps: int,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+) -> jax.Array:
+    """Greedy generation: (B, T) prompt → (B, steps) continuation tokens.
+
+    One jitted program: prefill then a ``lax.scan`` of decode steps —
+    static shapes throughout (cache preallocated at ``cfg.max_len``).
+    """
+    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    cache = lm_init_cache(cfg, prompt.shape[0])
+    logits, cache = lm_prefill(packed, prompt, cache, cfg, **kw)
+    tok0 = jnp.argmax(logits, axis=-1)
+
+    def step(carry, _):
+        tok, cache = carry
+        logits, cache = lm_decode_step(packed, tok, cache, cfg, **kw)
+        nxt = jnp.argmax(logits, axis=-1)
+        return (nxt, cache), tok
+
+    (_, _), toks = jax.lax.scan(step, (tok0, cache), None, length=steps)
+    return jnp.moveaxis(toks, 0, 1)  # (B, steps)

@@ -105,12 +105,19 @@ def block_forward(
     *,
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
+    precision=None,
 ) -> jax.Array:
-    """Pre-norm transformer block: x + attn(norm(x)), then x + mlp(norm(x))."""
+    """Pre-norm transformer block: x + attn(norm(x)), then x + mlp(norm(x)).
+
+    ``precision`` reaches the attention einsums only (the packed SpMM
+    decode-and-dot is exact by construction); pass HIGHEST for
+    decode-vs-full parity checks.
+    """
     h = rmsnorm(x, packed["norm1"], cfg.eps)
     x = x + attention_forward(
         packed["attn"], h, cfg.attn,
         compute_dtype=compute_dtype, use_kernel=use_kernel,
+        precision=precision,
     )
     return _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel))
 
@@ -147,9 +154,12 @@ def block_prefill(
     *,
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
+    precision=None,
 ) -> tuple[jax.Array, dict]:
     """Prompt pass: full block forward + KV-cache fill. Returns (y, cache)."""
-    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    kw = dict(
+        compute_dtype=compute_dtype, use_kernel=use_kernel, precision=precision
+    )
     h = rmsnorm(x, packed["norm1"], cfg.eps)
     att, cache = attention_prefill(packed["attn"], h, cache, cfg.attn, **kw)
     x = x + att
@@ -164,10 +174,13 @@ def block_decode_step(
     *,
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
+    precision=None,
 ) -> tuple[jax.Array, dict]:
     """One serving decode step through the block: x_t is (B, 1, d_model);
     attention reads the cache (O(T·D)) instead of recomputing T×T scores."""
-    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    kw = dict(
+        compute_dtype=compute_dtype, use_kernel=use_kernel, precision=precision
+    )
     h = rmsnorm(x_t, packed["norm1"], cfg.eps)
     att, cache = attention_decode_step(
         packed["attn"], h, cache, cfg.attn, **kw

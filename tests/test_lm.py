@@ -1,0 +1,91 @@
+"""End-to-end ternary LM: forward/prefill/decode equivalence + generation.
+
+The serving contract: the incremental-decode path (prefill + KV-cache
+steps) must produce the same logits as the full causal forward, and
+``generate`` must equal the hand-rolled greedy loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smmb_tpu.models.lm import (
+    TernaryLMConfig,
+    generate,
+    init_lm,
+    lm_decode_step,
+    lm_forward,
+    lm_init_cache,
+    lm_prefill,
+    pack_lm,
+)
+
+CFG = TernaryLMConfig(
+    vocab=512, d_model=256, n_heads=4, d_ff=512, n_layers=2, max_len=64
+)
+
+
+def _setup(seed=0):
+    params = init_lm(jax.random.PRNGKey(seed), CFG)
+    packed = pack_lm(params)
+    toks = jax.random.randint(jax.random.PRNGKey(seed + 1), (2, 8), 0, CFG.vocab)
+    return packed, toks
+
+
+def test_lm_forward_shapes():
+    packed, toks = _setup()
+    logits = lm_forward(packed, toks, CFG)
+    assert logits.shape == (2, 8, CFG.vocab)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_lm_decode_matches_forward():
+    # prefill T-1 then one decode step == full forward's last position
+    packed, toks = _setup(3)
+    full = lm_forward(packed, toks, CFG)
+    cache = lm_init_cache(CFG, batch=2)
+    _, cache = lm_prefill(packed, toks[:, :-1], cache, CFG)
+    step_logits, _ = lm_decode_step(packed, toks[:, -1], cache, CFG)
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full[:, -1]), atol=2e-4, rtol=0
+    )
+
+
+def test_lm_prefill_matches_forward():
+    packed, toks = _setup(4)
+    full = lm_forward(packed, toks, CFG)
+    cache = lm_init_cache(CFG, batch=2)
+    last, cache = lm_prefill(packed, toks, cache, CFG)
+    np.testing.assert_allclose(
+        np.asarray(last), np.asarray(full[:, -1]), atol=2e-4, rtol=0
+    )
+    assert int(cache[0]["pos"]) == toks.shape[1]
+
+
+def test_generate_greedy_equivalence():
+    packed, toks = _setup(5)
+    steps = 4
+    out = generate(packed, toks, CFG, steps)
+    assert out.shape == (2, steps)
+    # hand-rolled greedy loop over the full forward (no cache) — the
+    # independent oracle for the scan + cache machinery
+    cur = toks
+    want = []
+    for _ in range(steps):
+        logits = lm_forward(packed, cur, CFG)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        want.append(nxt)
+        cur = jnp.concatenate([cur, nxt[:, None]], axis=1)
+    want = jnp.stack(want, axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_lm_quantized_pack():
+    params = init_lm(jax.random.PRNGKey(9), CFG)
+    # non-ternary masters exercise the QAT pack path
+    params["head"] = params["head"] + 0.01
+    params["blocks"] = jax.tree.map(lambda a: a, params["blocks"])
+    packed = pack_lm(params, quantize=True)
+    toks = jax.random.randint(jax.random.PRNGKey(10), (1, 4), 0, CFG.vocab)
+    logits = lm_forward(packed, toks, CFG)
+    assert np.all(np.isfinite(np.asarray(logits)))
