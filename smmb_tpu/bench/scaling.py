@@ -12,6 +12,9 @@ efficiency at 2+ hosts" metric — for all three weight partitionings:
   all-gather collective matmul (parallel/overlap.py)
 * ``bcsr_column`` — block-column-sharded BCSR (30% stored 128×128 blocks;
   parallel/bcsr_sharded.py — ragged block lists padded to static shapes)
+* ``tp_block`` — one tensor-parallel transformer block (Megatron column/row
+  pairing, two psums; parallel/tp_transformer.py) at 4096-d/8-head/4096-ff,
+  rate counted over all six packed projections
 
 On CI this runs on the virtual CPU mesh (numbers are not meaningful, the
 machinery is what's exercised); on a real pod slice the same code reports
@@ -37,7 +40,7 @@ from smmb_tpu.parallel.sharded import (
 )
 from smmb_tpu.utils import rng
 
-PARTITIONINGS = ("column", "row", "overlap", "bcsr_column")
+PARTITIONINGS = ("column", "row", "overlap", "bcsr_column", "tp_block")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,6 +97,28 @@ def run_scaling(
         ).astype(np.float32)
         prep = bcsr_prepare(bcsr_from_dense(wb_np, 128, 128))
         bcsr_nnz = int(np.count_nonzero(wb_np))
+    elif partitioning == "tp_block":
+        from smmb_tpu.models.transformer import (
+            TernaryBlockConfig,
+            init_block,
+            pack_block,
+        )
+
+        # d_model=4096 keeps the row-sharded out-proj 512-group-aligned
+        # up to model=8; tokens = m (batch 2 × m/2)
+        bcfg = TernaryBlockConfig(d_model=4096, n_heads=8, d_ff=4096)
+        bparams = init_block(jax.random.PRNGKey(4), bcfg)
+        bpacked = pack_block(bparams)
+        xb = rng.rand_dense(
+            jax.random.PRNGKey(5), (2, m // 2, bcfg.d_model)
+        ) * 0.1
+        # the device packer stores nnz=-1; count from the dense masters
+        blk_nnz = sum(
+            int(np.count_nonzero(np.asarray(bparams["attn"][w])))
+            for w in ("wq", "wk", "wv", "wo")
+        ) + int(np.count_nonzero(np.asarray(bparams["w_up"]))) + int(
+            np.count_nonzero(np.asarray(bparams["w_down"]))
+        )
     else:
         p = pack_ternary(w_np)
 
@@ -113,6 +138,37 @@ def run_scaling(
 
             meas = measure_device(fn, x, shards, b, iters=iters, reps=reps)
             rate = bcsr_nnz * m / meas.mean_s
+            if base_rate is None:
+                base_rate, base_dev = rate, ndev
+            eff = rate / (base_rate * ndev / base_dev)
+            points.append(
+                ScalePoint(
+                    partitioning, ndev, f"{data}x{model}", meas.mean_s,
+                    rate, eff,
+                )
+            )
+            continue
+        if partitioning == "tp_block":
+            from smmb_tpu.parallel.tp_transformer import (
+                block_forward_tp,
+                shard_block_tp,
+            )
+
+            if (
+                bcfg.attn.n_heads % model
+                or bcfg.d_model % (512 * model)
+                or bcfg.d_ff % (512 * model)
+            ):
+                continue  # shard-alignment constraints (see tp_transformer)
+            bshard = shard_block_tp(bpacked, mesh)
+
+            def fn(xb, bshard, _mesh=mesh):
+                return block_forward_tp(
+                    bshard, xb, bcfg, mesh=_mesh, use_kernel=use_kernel
+                )
+
+            meas = measure_device(fn, xb, bshard, iters=iters, reps=reps)
+            rate = blk_nnz * m / meas.mean_s
             if base_rate is None:
                 base_rate, base_dev = rate, ndev
             eff = rate / (base_rate * ndev / base_dev)

@@ -10,3 +10,9 @@ from smmb_tpu.parallel.sharded import (
     sharded_spmm_column,
     sharded_spmm_row,
 )
+from smmb_tpu.parallel.tp_transformer import (
+    block_forward_tp,
+    lm_forward_tp,
+    shard_block_tp,
+    shard_lm_tp,
+)

@@ -1,0 +1,108 @@
+"""Tensor-parallel transformer block / LM parity on the virtual CPU mesh.
+
+Contract (as for the MLP pairing in test_parallel.py): the TP-sharded
+forward equals the single-device forward within dense-accumulation
+tolerance, for both the jnp parity path and the Pallas kernel path
+(interpret mode on CPU), across mesh layouts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smmb_tpu.models.lm import TernaryLMConfig, init_lm, lm_forward, pack_lm
+from smmb_tpu.models.transformer import (
+    TernaryBlockConfig,
+    block_forward,
+    init_block,
+    pack_block,
+)
+from smmb_tpu.parallel import make_mesh
+from smmb_tpu.parallel.tp_transformer import (
+    block_forward_tp,
+    lm_forward_tp,
+    shard_block_tp,
+    shard_lm_tp,
+)
+from smmb_tpu.utils import rng
+from smmb_tpu.utils.compare import TOL_DENSE, assert_close
+
+# d_model and d_ff must be multiples of 512*model for the row-sharded
+# contractions (packed-group alignment); n_heads % model == 0.
+CFG = TernaryBlockConfig(d_model=1024, n_heads=4, d_ff=1024)
+
+
+def _assert_scaled(y, ref, what):
+    # psum reduction order differs from the single-device k-tile loop;
+    # block outputs reach ~1e3 magnitude, so the abs tolerance scales
+    # (~2e-5 relative — well inside the reference's 1e-4 contract)
+    tol = max(TOL_DENSE, 2e-5 * float(np.abs(np.asarray(ref)).max()))
+    assert_close(y, ref, tol, what)
+
+
+def _setup_block(seed=0, batch=4, t=6):
+    params = init_block(jax.random.PRNGKey(seed), CFG)
+    packed = pack_block(params)
+    x = rng.rand_dense(jax.random.PRNGKey(seed + 1), (batch, t, CFG.d_model))
+    return packed, x * 0.1
+
+
+@pytest.mark.parametrize("data,model", [(2, 2), (4, 2), (1, 2)])
+def test_block_tp_matches_single(data, model):
+    mesh = make_mesh(data, model, devices=jax.devices()[: data * model])
+    packed, x = _setup_block(11)
+    ref = np.asarray(block_forward(packed, x, CFG, use_kernel=False))
+    sharded = shard_block_tp(packed, mesh)
+    y = block_forward_tp(sharded, x, CFG, mesh=mesh, use_kernel=False)
+    _assert_scaled(y, ref, "block tp")
+
+
+def test_block_tp_kernel_path():
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    packed, x = _setup_block(13, batch=2, t=2)
+    ref = np.asarray(block_forward(packed, x, CFG, use_kernel=False))
+    sharded = shard_block_tp(packed, mesh)
+    y = block_forward_tp(sharded, x, CFG, mesh=mesh, use_kernel=True)
+    _assert_scaled(y, ref, "block tp kernel")
+
+
+def test_block_tp_quantized_scales():
+    # QAT pack: non-trivial per-projection scales must survive sharding
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    params = init_block(jax.random.PRNGKey(7), CFG)
+    params = jax.tree.map(lambda a: a + 0.01, params)
+    packed = pack_block(params, quantize=True)
+    packed, x = packed, _setup_block(7)[1]
+    ref = np.asarray(block_forward(packed, x, CFG, use_kernel=False))
+    sharded = shard_block_tp(packed, mesh)
+    y = block_forward_tp(sharded, x, CFG, mesh=mesh, use_kernel=False)
+    _assert_scaled(y, ref, "block tp qat")
+
+
+def test_block_tp_rejects_bad_heads():
+    mesh = make_mesh(1, 8)
+    packed, x = _setup_block(5)
+    sharded_err = pytest.raises(ValueError)
+    with sharded_err:
+        # n_heads=4 not divisible by model=8 (shard_block_tp's column
+        # partitioner would also reject d_model=1024 over 8 shards)
+        shard_block_tp(packed, mesh)
+
+
+LM_CFG = TernaryLMConfig(
+    vocab=512, d_model=1024, n_heads=4, d_ff=1024, n_layers=2, max_len=32
+)
+
+
+def test_lm_tp_matches_single():
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    params = init_lm(jax.random.PRNGKey(21), LM_CFG)
+    packed = pack_lm(params)
+    toks = jax.random.randint(
+        jax.random.PRNGKey(22), (2, 6), 0, LM_CFG.vocab
+    )
+    ref = np.asarray(lm_forward(packed, toks, LM_CFG, use_kernel=False))
+    sharded = shard_lm_tp(packed, mesh)
+    y = lm_forward_tp(sharded, toks, LM_CFG, mesh=mesh, use_kernel=False)
+    _assert_scaled(y, ref, "lm tp")
