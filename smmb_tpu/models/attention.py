@@ -186,6 +186,27 @@ def attention_prefill(
     return y, cache
 
 
+def _decode_attention_math(q, kc, vc, pos, head_dim, precision=None):
+    """One-token attention over a static-length cache.
+
+    q: (B, 1, H, hd); kc/vc: (B, max_len, H, hd) with the new token already
+    written at ``pos``. Scores are masked beyond the live prefix — static
+    shapes keep XLA happy (no data-dependent slice sizes). Head count is
+    whatever the caller owns (shard-local under tensor parallelism).
+    Returns (B, 1, H·hd)."""
+    b = q.shape[0]
+    max_len = kc.shape[1]
+    scores = jnp.einsum(
+        "bqhd,bthd->bhqt", q, kc,
+        preferred_element_type=jnp.float32, precision=precision,
+    ) / jnp.sqrt(jnp.float32(head_dim))
+    live = jnp.arange(max_len) <= pos  # includes the new token
+    scores = jnp.where(live[None, None, None, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
+    out = jnp.einsum("bhqt,bthd->bqhd", probs, vc, precision=precision)
+    return out.reshape(b, 1, -1)
+
+
 def attention_decode_step(
     packed: dict,
     x_t: jax.Array,
@@ -214,19 +235,9 @@ def attention_decode_step(
     vc = jax.lax.dynamic_update_slice(
         cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
     )
-    max_len = kc.shape[1]
-    # scores over the static-length cache, masked beyond the live prefix —
-    # static shapes keep XLA happy (no data-dependent slice sizes)
-    scores = jnp.einsum(
-        "bqhd,bthd->bhqt", q, kc,
-        preferred_element_type=jnp.float32, precision=precision,
-    ) / jnp.sqrt(jnp.float32(cfg.head_dim))
-    live = jnp.arange(max_len) <= pos  # includes the new token
-    scores = jnp.where(live[None, None, None, :], scores, -jnp.inf)
-    probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
-    out = jnp.einsum(
-        "bhqt,bthd->bqhd", probs, vc, precision=precision
-    ).reshape(b, 1, d)
+    out = _decode_attention_math(
+        q, kc, vc, pos, cfg.head_dim, precision=precision
+    )
     y = _proj(packed, "wo", out, cfg, **kw)
     return y, {"k": kc, "v": vc, "pos": pos + 1}
 

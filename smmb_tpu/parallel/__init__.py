@@ -11,8 +11,15 @@ from smmb_tpu.parallel.sharded import (
     sharded_spmm_row,
 )
 from smmb_tpu.parallel.tp_transformer import (
+    block_decode_step_tp,
     block_forward_tp,
+    block_prefill_tp,
+    generate_tp,
+    init_block_cache_tp,
+    lm_decode_step_tp,
     lm_forward_tp,
+    lm_init_cache_tp,
+    lm_prefill_tp,
     shard_block_tp,
     shard_lm_tp,
 )

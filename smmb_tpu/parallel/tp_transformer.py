@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from smmb_tpu.models.attention import _attention_math
+from smmb_tpu.models.attention import _attention_math, _decode_attention_math
 from smmb_tpu.models.transformer import TernaryBlockConfig, rmsnorm
 from smmb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from smmb_tpu.parallel.sharded import (
@@ -194,6 +194,184 @@ def block_forward_tp(
 
 
 # ---------------------------------------------------------------------------
+# Tensor-parallel serving decode (head-sharded KV caches)
+# ---------------------------------------------------------------------------
+
+
+def init_block_cache_tp(
+    cfg: TernaryBlockConfig,
+    batch: int,
+    max_len: int,
+    mesh: Mesh,
+    dtype=jnp.float32,
+) -> dict:
+    """KV cache for one TP block: (B, max_len, H, hd) sharded over the
+    model axis on the *heads* dim — each shard caches only the heads it
+    owns, so decode attention stays collective-free."""
+    ms = _model_size(mesh)
+    if cfg.attn.n_heads % ms:
+        raise ValueError(f"n_heads={cfg.attn.n_heads} % model={ms} != 0")
+    shape = (batch, max_len, cfg.attn.n_heads, cfg.attn.head_dim)
+    sh = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS, None))
+    return {
+        "k": jax.device_put(jnp.zeros(shape, dtype), sh),
+        "v": jax.device_put(jnp.zeros(shape, dtype), sh),
+        "pos": jax.device_put(jnp.int32(0), NamedSharding(mesh, P())),
+    }
+
+
+_CACHE_SPECS = {
+    "k": P(DATA_AXIS, None, MODEL_AXIS, None),
+    "v": P(DATA_AXIS, None, MODEL_AXIS, None),
+    "pos": P(),
+}
+
+
+def _qkv_local(d, h2, bl, t, h_loc, hd, compute_dtype, use_kernel, dm):
+    """Shard-local Q/K/V projections, reshaped to (B, T, H_local, hd)."""
+
+    def col(w, bias, scale):
+        return _local_spmm(
+            h2 * scale, w, bias, None, compute_dtype, use_kernel, dm
+        ).reshape(bl, t, h_loc, hd)
+
+    return (
+        col(d["wq"], d["bq"], d["sq"]),
+        col(d["wk"], d["bk"], d["sk"]),
+        col(d["wv"], d["bv"], d["sv"]),
+    )
+
+
+def _block_decode_body_tp(
+    d, x_t, kc, vc, pos, cfg, ms, compute_dtype, use_kernel, precision
+):
+    """Per-device decode body: local-head cache attention + 2 psums."""
+    bl, one, dm = x_t.shape
+    h_loc = cfg.attn.n_heads // ms
+    hd = cfg.attn.head_dim
+
+    h = rmsnorm(x_t, d["norm1"], cfg.eps).reshape(bl, dm)
+    q, k, v = _qkv_local(
+        d, h, bl, one, h_loc, hd, compute_dtype, use_kernel, dm
+    )
+    kc = jax.lax.dynamic_update_slice(
+        kc, k.astype(kc.dtype), (0, pos, 0, 0)
+    )
+    vc = jax.lax.dynamic_update_slice(
+        vc, v.astype(vc.dtype), (0, pos, 0, 0)
+    )
+    att = _decode_attention_math(q, kc, vc, pos, hd, precision=precision)
+    part = _local_spmm(
+        att.reshape(bl, h_loc * hd) * d["so"], d["wo"], None, None,
+        compute_dtype, use_kernel, dm // ms,
+    )
+    att_out = jax.lax.psum(part, MODEL_AXIS) + d["bo"]
+    x = x_t + att_out.reshape(bl, one, dm)
+
+    h2 = rmsnorm(x, d["norm2"], cfg.eps).reshape(bl, dm)
+    up = _local_spmm(
+        h2 * d["s_up"], d["w_up"], d["b_up"], cfg.alpha,
+        compute_dtype, use_kernel, dm,
+    )
+    part = _local_spmm(
+        up * d["s_down"], d["w_down"], None, None,
+        compute_dtype, use_kernel, cfg.d_ff // ms,
+    )
+    down = jax.lax.psum(part, MODEL_AXIS) + d["b_down"]
+    return x + down.reshape(bl, one, dm), kc, vc
+
+
+def block_decode_step_tp(
+    packed: dict,
+    x_t: jax.Array,
+    cache: dict,
+    cfg: TernaryBlockConfig,
+    *,
+    mesh: Mesh,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+) -> tuple[jax.Array, dict]:
+    """One TP serving decode step: x_t (B, 1, d_model) replicated over
+    ``model``; the KV cache stays head-sharded throughout (no cache
+    collectives — only the block's two output psums)."""
+    ms = _model_size(mesh)
+    arrs, specs = _block_arrs_specs(packed)
+
+    def body(d, x_l, kc, vc, pos):
+        y, kc, vc = _block_decode_body_tp(
+            d, x_l, kc, vc, pos, cfg, ms, compute_dtype, use_kernel,
+            precision,
+        )
+        return y, kc, vc
+
+    y, kc, vc = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            specs, P(DATA_AXIS, None, None),
+            _CACHE_SPECS["k"], _CACHE_SPECS["v"], _CACHE_SPECS["pos"],
+        ),
+        out_specs=(
+            P(DATA_AXIS, None, None),
+            _CACHE_SPECS["k"], _CACHE_SPECS["v"],
+        ),
+        check_vma=False,  # pallas_call outputs carry no vma info yet
+    )(arrs, x_t, cache["k"], cache["v"], cache["pos"])
+    return y, {"k": kc, "v": vc, "pos": cache["pos"] + 1}
+
+
+def block_prefill_tp(
+    packed: dict,
+    x: jax.Array,
+    cache: dict,
+    cfg: TernaryBlockConfig,
+    *,
+    mesh: Mesh,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+) -> tuple[jax.Array, dict]:
+    """TP prompt pass: full block forward + head-sharded cache fill."""
+    ms = _model_size(mesh)
+    arrs, specs = _block_arrs_specs(packed)
+
+    def body(d, x_l, kc, vc, pos):
+        bl, t, dm = x_l.shape
+        h_loc = cfg.attn.n_heads // ms
+        hd = cfg.attn.head_dim
+        h = rmsnorm(x_l, d["norm1"], cfg.eps).reshape(bl * t, dm)
+        _, k, v = _qkv_local(
+            d, h, bl, t, h_loc, hd, compute_dtype, use_kernel, dm
+        )
+        kc = jax.lax.dynamic_update_slice(
+            kc, k.astype(kc.dtype), (0, pos, 0, 0)
+        )
+        vc = jax.lax.dynamic_update_slice(
+            vc, v.astype(vc.dtype), (0, pos, 0, 0)
+        )
+        y = _block_body_tp(
+            d, x_l, cfg, ms, compute_dtype, use_kernel, precision
+        )
+        return y, kc, vc
+
+    y, kc, vc = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            specs, P(DATA_AXIS, None, None),
+            _CACHE_SPECS["k"], _CACHE_SPECS["v"], _CACHE_SPECS["pos"],
+        ),
+        out_specs=(
+            P(DATA_AXIS, None, None),
+            _CACHE_SPECS["k"], _CACHE_SPECS["v"],
+        ),
+        check_vma=False,
+    )(arrs, x, cache["k"], cache["v"], cache["pos"])
+    return y, {"k": kc, "v": vc, "pos": cache["pos"] + x.shape[1]}
+
+
+# ---------------------------------------------------------------------------
 # LM-level tensor parallelism
 # ---------------------------------------------------------------------------
 
@@ -245,6 +423,14 @@ def lm_forward_tp(
             precision=precision,
         )
     h = rmsnorm(x, packed["norm_f"], cfg.eps)
+    return _head_logits_tp(
+        packed, h, cfg, mesh, compute_dtype, use_kernel
+    )
+
+
+def _head_logits_tp(packed, h, cfg, mesh, compute_dtype, use_kernel):
+    """Vocab-sharded LM head: local column SpMM, then gather the shards so
+    the caller sees replicated logits."""
 
     def head_body(h_l, data_l, scale):
         y = _local_spmm(
@@ -260,7 +446,116 @@ def lm_forward_tp(
         out_specs=P(DATA_AXIS, None, MODEL_AXIS),
         check_vma=False,
     )(h, packed["head"].data, packed["head_scale"])
-    # gather the vocab shards so the caller sees replicated logits
     return jax.lax.with_sharding_constraint(
         logits, NamedSharding(mesh, P(DATA_AXIS, None, None))
     )
+
+
+def lm_init_cache_tp(cfg, batch: int, mesh: Mesh, dtype=jnp.float32) -> list:
+    """Head-sharded KV caches for every block of a TP LM."""
+    return [
+        init_block_cache_tp(cfg.block, batch, cfg.max_len, mesh, dtype=dtype)
+        for _ in range(cfg.n_layers)
+    ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "compute_dtype", "use_kernel", "precision"),
+)
+def lm_prefill_tp(
+    packed: dict,
+    tokens: jax.Array,
+    cache: list,
+    cfg,
+    *,
+    mesh: Mesh,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+):
+    """TP prompt pass: (last-position logits (B, vocab), filled TP cache)."""
+    b, t = tokens.shape
+    x = packed["embed"][tokens] + packed["pos"][None, :t]
+    new_cache = []
+    for blk, c in zip(packed["blocks"], cache):
+        x, c = block_prefill_tp(
+            blk, x, c, cfg.block, mesh=mesh,
+            compute_dtype=compute_dtype, use_kernel=use_kernel,
+            precision=precision,
+        )
+        new_cache.append(c)
+    h = rmsnorm(x, packed["norm_f"], cfg.eps)
+    logits = _head_logits_tp(packed, h, cfg, mesh, compute_dtype, use_kernel)
+    return logits[:, -1], new_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "compute_dtype", "use_kernel", "precision"),
+)
+def lm_decode_step_tp(
+    packed: dict,
+    token_t: jax.Array,
+    cache: list,
+    cfg,
+    *,
+    mesh: Mesh,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+):
+    """One TP decode step: (B,) tokens → ((B, vocab) logits, TP cache)."""
+    pos = cache[0]["pos"]
+    x = packed["embed"][token_t][:, None, :] + packed["pos"][pos][None, None]
+    new_cache = []
+    for blk, c in zip(packed["blocks"], cache):
+        x, c = block_decode_step_tp(
+            blk, x, c, cfg.block, mesh=mesh,
+            compute_dtype=compute_dtype, use_kernel=use_kernel,
+            precision=precision,
+        )
+        new_cache.append(c)
+    h = rmsnorm(x, packed["norm_f"], cfg.eps)
+    logits = _head_logits_tp(packed, h, cfg, mesh, compute_dtype, use_kernel)
+    return logits[:, 0], new_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "steps", "mesh", "compute_dtype", "use_kernel", "precision"
+    ),
+)
+def generate_tp(
+    packed: dict,
+    prompt: jax.Array,
+    cfg,
+    steps: int,
+    *,
+    mesh: Mesh,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+) -> jax.Array:
+    """TP greedy generation: one jitted prefill + ``lax.scan`` of TP decode
+    steps, KV caches head-sharded throughout (models/lm.generate over the
+    mesh)."""
+    kw = dict(
+        compute_dtype=compute_dtype, use_kernel=use_kernel,
+        precision=precision,
+    )
+    cache = lm_init_cache_tp(cfg, prompt.shape[0], mesh)
+    logits, cache = lm_prefill_tp(packed, prompt, cache, cfg, mesh=mesh, **kw)
+    tok0 = jnp.argmax(logits, axis=-1)
+
+    def step(carry, _):
+        tok, cache = carry
+        logits, cache = lm_decode_step_tp(
+            packed, tok, cache, cfg, mesh=mesh, **kw
+        )
+        nxt = jnp.argmax(logits, axis=-1)
+        return (nxt, cache), tok
+
+    (_, _), toks = jax.lax.scan(step, (tok0, cache), None, length=steps)
+    return jnp.moveaxis(toks, 0, 1)

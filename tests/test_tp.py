@@ -20,8 +20,15 @@ from smmb_tpu.models.transformer import (
 )
 from smmb_tpu.parallel import make_mesh
 from smmb_tpu.parallel.tp_transformer import (
+    block_decode_step_tp,
     block_forward_tp,
+    block_prefill_tp,
+    generate_tp,
+    init_block_cache_tp,
+    lm_decode_step_tp,
     lm_forward_tp,
+    lm_init_cache_tp,
+    lm_prefill_tp,
     shard_block_tp,
     shard_lm_tp,
 )
@@ -106,3 +113,54 @@ def test_lm_tp_matches_single():
     sharded = shard_lm_tp(packed, mesh)
     y = lm_forward_tp(sharded, toks, LM_CFG, mesh=mesh, use_kernel=False)
     _assert_scaled(y, ref, "lm tp")
+
+
+def test_block_decode_tp_matches_forward():
+    # TP prefill T-1 tokens then one TP decode step == TP full forward's
+    # last position (head-sharded cache correctness)
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    packed, x = _setup_block(31, batch=2, t=5)
+    sharded = shard_block_tp(packed, mesh)
+    full = np.asarray(
+        block_forward_tp(sharded, x, CFG, mesh=mesh, use_kernel=False)
+    )
+    cache = init_block_cache_tp(CFG, batch=2, max_len=8, mesh=mesh)
+    _, cache = block_prefill_tp(
+        sharded, x[:, :-1], cache, CFG, mesh=mesh, use_kernel=False
+    )
+    y_t, _ = block_decode_step_tp(
+        sharded, x[:, -1:], cache, CFG, mesh=mesh, use_kernel=False
+    )
+    _assert_scaled(y_t[:, 0], full[:, -1], "tp decode")
+
+
+def test_lm_decode_tp_matches_single():
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    params = init_lm(jax.random.PRNGKey(41), LM_CFG)
+    packed = pack_lm(params)
+    toks = jax.random.randint(jax.random.PRNGKey(42), (2, 5), 0, LM_CFG.vocab)
+    ref = np.asarray(lm_forward(packed, toks, LM_CFG, use_kernel=False))
+    sharded = shard_lm_tp(packed, mesh)
+    cache = lm_init_cache_tp(LM_CFG, batch=2, mesh=mesh)
+    _, cache = lm_prefill_tp(
+        sharded, toks[:, :-1], cache, LM_CFG, mesh=mesh, use_kernel=False
+    )
+    logits, _ = lm_decode_step_tp(
+        sharded, toks[:, -1], cache, LM_CFG, mesh=mesh, use_kernel=False
+    )
+    _assert_scaled(logits, ref[:, -1], "lm tp decode")
+
+
+def test_generate_tp_matches_single():
+    from smmb_tpu.models.lm import generate
+
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    params = init_lm(jax.random.PRNGKey(51), LM_CFG)
+    packed = pack_lm(params)
+    toks = jax.random.randint(jax.random.PRNGKey(52), (2, 4), 0, LM_CFG.vocab)
+    want = np.asarray(generate(packed, toks, LM_CFG, 4, use_kernel=False))
+    sharded = shard_lm_tp(packed, mesh)
+    got = np.asarray(
+        generate_tp(sharded, toks, LM_CFG, 4, mesh=mesh, use_kernel=False)
+    )
+    np.testing.assert_array_equal(got, want)
