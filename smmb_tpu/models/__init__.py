@@ -17,6 +17,7 @@ from smmb_tpu.models.transformer import (
     block_forward,
     init_block,
     pack_block,
+    qat_block_forward,
 )
 from smmb_tpu.models.lm import (
     TernaryLMConfig,
@@ -26,5 +27,7 @@ from smmb_tpu.models.lm import (
     lm_forward,
     lm_init_cache,
     lm_prefill,
+    make_lm_train_step,
     pack_lm,
+    qat_lm_forward,
 )

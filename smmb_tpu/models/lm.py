@@ -206,6 +206,55 @@ def lm_decode_step(
     return logits[:, 0], new_cache
 
 
+def qat_lm_forward(
+    params: dict, tokens: jax.Array, cfg: TernaryLMConfig
+) -> jax.Array:
+    """Training forward on master weights: STE-ternarized blocks + head
+    (differentiable); embeddings, positions, and norm gains train dense.
+    Mirrors ``lm_forward``'s serving math so ``pack_lm(quantize=True)``
+    serves exactly what was trained."""
+    from smmb_tpu.models.train import absmean_scale, ternarize_ste
+    from smmb_tpu.models.transformer import qat_block_forward
+
+    b, t = tokens.shape
+    x = params["embed"][tokens] + params["pos"][None, :t]
+    for blk in params["blocks"]:
+        x = qat_block_forward(blk, x, cfg.block)
+    h = rmsnorm(x, params["norm_f"], cfg.eps)
+    w = params["head"]
+    wq = ternarize_ste(w) * absmean_scale(w)
+    return jnp.dot(h, wq, preferred_element_type=jnp.float32)
+
+
+def make_lm_train_step(cfg: TernaryLMConfig, learning_rate: float = 1e-3):
+    """(init_opt, train_step) for next-token cross-entropy on the ternary LM.
+
+    ``train_step(params, opt_state, tokens) -> (params, opt_state, loss)``
+    is pure and jittable; shard ``tokens`` over a data axis for DP training
+    (the optimizer update is elementwise, so XLA keeps it sharded).
+    """
+    import optax
+
+    tx = optax.adam(learning_rate)
+
+    def loss_fn(params, tokens):
+        logits = qat_lm_forward(params, tokens, cfg)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[:, :-1], tokens[:, 1:]
+        ).mean()
+
+    def init_opt(params):
+        return tx.init(params)
+
+    def train_step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_opt, train_step
+
+
 @functools.partial(
     jax.jit, static_argnames=("cfg", "steps", "compute_dtype", "use_kernel")
 )

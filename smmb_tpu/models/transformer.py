@@ -146,6 +146,29 @@ def _make_spmm(compute_dtype, use_kernel):
     return spmm
 
 
+def qat_block_forward(
+    params: dict, x: jax.Array, cfg: TernaryBlockConfig
+) -> jax.Array:
+    """Training forward on the master weights: STE-ternarized projections
+    (differentiable), mirroring the serving math exactly — the trained
+    pytree packs to the serving form via ``pack_block(quantize=True)``.
+    """
+    from smmb_tpu.models.attention import qat_attention_forward
+    from smmb_tpu.models.train import absmean_scale, ternarize_ste
+    from smmb_tpu.ops.dense import prelu
+
+    h = rmsnorm(x, params["norm1"], cfg.eps)
+    x = x + qat_attention_forward(params["attn"], h, cfg.attn)
+
+    def qlin(inp, w, b):
+        wq = ternarize_ste(w) * absmean_scale(w)
+        return jnp.dot(inp, wq, preferred_element_type=jnp.float32) + b
+
+    h = rmsnorm(x, params["norm2"], cfg.eps)
+    up = prelu(qlin(h, params["w_up"], params["b_up"]), cfg.alpha)
+    return x + qlin(up, params["w_down"], params["b_down"])
+
+
 def block_prefill(
     packed: dict,
     x: jax.Array,

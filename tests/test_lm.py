@@ -80,6 +80,36 @@ def test_generate_greedy_equivalence():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
 
 
+def test_lm_train_step_reduces_loss():
+    # train → pack → serve: STE training on the full LM pytree, then the
+    # quantize-pack of the trained masters serves finite logits
+    from smmb_tpu.models.lm import make_lm_train_step, qat_lm_forward
+
+    cfg = TernaryLMConfig(
+        vocab=64, d_model=64, n_heads=2, d_ff=128, n_layers=1, max_len=16
+    )
+    params = init_lm(jax.random.PRNGKey(30), cfg)
+    # masters must be non-degenerate floats for absmean/STE to train
+    params = jax.tree.map(lambda a: a + 0.01, params)
+    toks = jax.random.randint(jax.random.PRNGKey(31), (4, 8), 0, cfg.vocab)
+    init_opt, train_step = make_lm_train_step(cfg, learning_rate=1e-2)
+    opt_state = init_opt(params)
+    jstep = jax.jit(train_step)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = jstep(params, opt_state, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    # serving parity of what was trained: qat forward == packed jnp forward
+    packed = pack_lm(params, quantize=True)
+    served = lm_forward(packed, toks, cfg, use_kernel=False)
+    qat = qat_lm_forward(params, toks, cfg)
+    # biases are absent from the LM head in both paths; blocks carry theirs
+    np.testing.assert_allclose(
+        np.asarray(served), np.asarray(qat), atol=5e-4, rtol=0
+    )
+
+
 def test_lm_quantized_pack():
     params = init_lm(jax.random.PRNGKey(9), CFG)
     # non-ternary masters exercise the QAT pack path
