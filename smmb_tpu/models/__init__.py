@@ -19,6 +19,13 @@ from smmb_tpu.models.transformer import (
     pack_block,
     qat_block_forward,
 )
+from smmb_tpu.models.moe import (
+    TernaryMoEConfig,
+    init_moe,
+    moe_forward,
+    pack_moe,
+    route_top1,
+)
 from smmb_tpu.models.lm import (
     TernaryLMConfig,
     generate,
