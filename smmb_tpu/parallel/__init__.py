@@ -6,6 +6,7 @@ from smmb_tpu.parallel.mesh import make_mesh
 from smmb_tpu.parallel.overlap import sharded_spmm_column_overlapped
 from smmb_tpu.parallel.ep_moe import moe_forward_ep, shard_moe_ep
 from smmb_tpu.parallel.pp_lm import lm_forward_pp, shard_lm_pp
+from smmb_tpu.parallel.ring_attention import attention_forward_sp, ring_attention
 from smmb_tpu.parallel.sharded import (
     shard_packed_columns,
     shard_packed_rows,

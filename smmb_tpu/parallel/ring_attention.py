@@ -1,0 +1,170 @@
+"""Sequence-parallel ring attention over the device mesh (net-new).
+
+Long-context serving shards the *sequence* axis: each device owns a T/S
+chunk of the tokens — Q, K, V projections run shard-locally through the
+packed ternary kernel (per-token work), and attention runs as a ring:
+every device holds its Q chunk fixed while the K/V chunks rotate around
+the ``model`` axis with ``ppermute`` (S steps), accumulating softmax
+online (running max / denominator / numerator — the numerically stable
+blockwise form). Peak memory per device is O(T·D/S + (T/S)²·H) instead of
+O(T²·H), and the only collectives are the S-1 KV rotations over ICI,
+which XLA overlaps with the next block's score matmul.
+
+Causality is enforced blockwise: a (q-chunk, kv-chunk) pair is fully
+live, fully masked, or diagonal (elementwise mask); masked logits use a
+large-negative finite (not -inf) so the online-softmax update never forms
+exp(-inf − -inf).
+
+The reference has no sequence axis at all (SURVEY.md §5 maps its absence
+to the feature-axis partitioning in parallel/sharded.py); ring attention
+is the transformer-era answer and completes the sp column of the
+dp/tp/pp/ep/sp matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from smmb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+_NEG = -1e30  # finite mask value: exp(_NEG - m) underflows to 0 cleanly
+
+
+def _ring_body(q, k, v, s, causal, precision):
+    """Per-device online-softmax ring: q fixed, (k, v) rotate s times.
+
+    q: (B, Tq, H, hd) local chunk; k/v: same-shaped local chunks.
+    Returns (B, Tq, H, hd).
+    """
+    b, tq, h, hd = q.shape
+    me = jax.lax.axis_index(MODEL_AXIS)
+    scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+    perm = [(i, (i + 1) % s) for i in range(s)]
+
+    q_pos = me * tq + jnp.arange(tq)  # global positions of my queries
+
+    def step(carry, i):
+        kc, vc, m, l, acc = carry
+        src = (me - i) % s  # ring owner of the chunk we currently hold
+        scores = (
+            jnp.einsum(
+                "bqhd,bkhd->bhqk", q, kc,
+                preferred_element_type=jnp.float32, precision=precision,
+            )
+            * scale
+        )
+        if causal:
+            k_pos = src * tq + jnp.arange(tq)
+            live = q_pos[:, None] >= k_pos[None, :]  # (Tq, Tk)
+            scores = jnp.where(live[None, None], scores, _NEG)
+        m_new = jnp.maximum(m, scores.max(axis=-1))  # (B, H, Tq)
+        alpha = jnp.exp(m - m_new)  # rescale of the old accumulator
+        p = jnp.exp(scores - m_new[..., None])  # (B, H, Tq, Tk)
+        l = l * alpha + p.sum(axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p, vc.astype(jnp.float32),
+            precision=precision,
+        )
+        kc, vc = jax.lax.ppermute((kc, vc), MODEL_AXIS, perm)
+        return (kc, vc, m_new, l, acc), None
+
+    m0 = jnp.full((b, h, tq), _NEG, jnp.float32)
+    l0 = jnp.zeros((b, h, tq), jnp.float32)
+    a0 = jnp.zeros((b, h, tq, hd), jnp.float32)
+    (_, _, m, l, acc), _ = jax.lax.scan(
+        step, (k, v, m0, l0, a0), jnp.arange(s)
+    )
+    out = acc / jnp.maximum(l, 1e-30)[..., None]  # (B, H, Tq, hd)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "causal", "precision")
+)
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mesh: Mesh,
+    causal: bool = True,
+    precision=None,
+) -> jax.Array:
+    """Multi-head attention with the sequence axis sharded over ``model``.
+
+    q/k/v: (B, T, H, hd) with T sharded over the ``model`` mesh axis and B
+    over ``data``; returns the attention output with the same placement.
+    T must divide evenly into model-axis chunks.
+    """
+    s = mesh.shape[MODEL_AXIS]
+
+    def body(q_l, k_l, v_l):
+        return _ring_body(q_l, k_l, v_l, s, causal, precision)
+
+    spec = P(DATA_AXIS, MODEL_AXIS, None, None)
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "mesh", "compute_dtype", "use_kernel", "precision"),
+)
+def attention_forward_sp(
+    packed: dict,
+    x: jax.Array,
+    cfg,
+    *,
+    mesh: Mesh,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+) -> jax.Array:
+    """Sequence-parallel ternary attention layer: x (B, T, d_model) with T
+    sharded over ``model``; packed projections (replicated — they are 2-bit)
+    run shard-locally per token, attention runs as the KV ring.
+    """
+    from smmb_tpu.parallel.sharded import _local_spmm
+
+    b, t, d = x.shape
+    s = mesh.shape[MODEL_AXIS]
+    hd = cfg.head_dim
+
+    names = ("wq", "wk", "wv", "wo")
+    arrs = {n: packed[n].data for n in names}
+    for n in names:
+        arrs[n + "_scale"] = packed[n + "_scale"]
+        arrs[n.replace("w", "b")] = packed[n.replace("w", "b")]
+    specs = {k_: P(None, None) if k_ in names else P() for k_ in arrs}
+    for n in names:
+        specs[n.replace("w", "b")] = P(None)
+
+    x_spec = P(DATA_AXIS, MODEL_AXIS, None)
+
+    def body(d_, x_l):
+        bl, tl, dm = x_l.shape
+
+        def proj(name, inp):
+            return _local_spmm(
+                inp.reshape(-1, inp.shape[-1]) * d_[name + "_scale"],
+                d_[name], d_[name.replace("w", "b")], None,
+                compute_dtype, use_kernel, dm,
+            )
+
+        q = proj("wq", x_l).reshape(bl, tl, cfg.n_heads, hd)
+        k = proj("wk", x_l).reshape(bl, tl, cfg.n_heads, hd)
+        v = proj("wv", x_l).reshape(bl, tl, cfg.n_heads, hd)
+        att = _ring_body(q, k, v, s, cfg.causal, precision)
+        y = proj("wo", att.reshape(bl, tl, dm))
+        return y.reshape(bl, tl, dm)
+
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(specs, x_spec), out_specs=x_spec,
+        check_vma=False,
+    )(arrs, x)

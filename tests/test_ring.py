@@ -1,0 +1,82 @@
+"""Sequence-parallel ring attention parity on the virtual CPU mesh.
+
+Contract: the KV-ring online-softmax attention equals single-device
+attention math (and the full packed attention layer) within f32
+accumulation tolerance, causal and bidirectional, across ring sizes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smmb_tpu.models.attention import (
+    TernaryAttentionConfig,
+    _attention_math,
+    attention_forward,
+    init_attention,
+    pack_attention,
+)
+from smmb_tpu.parallel import make_mesh
+from smmb_tpu.parallel.ring_attention import attention_forward_sp, ring_attention
+from smmb_tpu.utils import rng
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _qkv(seed, b, t, h, hd):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (b, t, h, hd)
+    return [rng.rand_dense(k, shape) * 0.5 for k in ks]
+
+
+@pytest.mark.parametrize("data,model", [(1, 2), (1, 4), (2, 4)])
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_matches_full(data, model, causal):
+    mesh = make_mesh(data, model, devices=jax.devices()[: data * model])
+    b, t, h, hd = 2, 16, 2, 32
+    q, k, v = _qkv(7, b, t, h, hd)
+    cfg = TernaryAttentionConfig(d_model=h * hd, n_heads=h, causal=causal)
+    # reference: single-device attention math on merged heads layout
+    ref = _attention_math(
+        q.reshape(b, t, -1), k.reshape(b, t, -1), v.reshape(b, t, -1),
+        cfg, precision=HI,
+    )
+    y = ring_attention(q, k, v, mesh=mesh, causal=causal, precision=HI)
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(b, t, -1), np.asarray(ref), atol=2e-5, rtol=0
+    )
+
+
+def test_ring_single_ring_degenerate():
+    mesh = make_mesh(1, 1, devices=jax.devices()[:1])
+    b, t, h, hd = 1, 8, 2, 16
+    q, k, v = _qkv(9, b, t, h, hd)
+    cfg = TernaryAttentionConfig(d_model=h * hd, n_heads=h, causal=True)
+    ref = _attention_math(
+        q.reshape(b, t, -1), k.reshape(b, t, -1), v.reshape(b, t, -1),
+        cfg, precision=HI,
+    )
+    y = ring_attention(q, k, v, mesh=mesh, causal=True, precision=HI)
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(b, t, -1), np.asarray(ref), atol=2e-5, rtol=0
+    )
+
+
+@pytest.mark.parametrize("use_kernel", [False, True])
+def test_attention_forward_sp_matches_single(use_kernel):
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    cfg = TernaryAttentionConfig(d_model=256, n_heads=4)
+    params = init_attention(jax.random.PRNGKey(21), cfg)
+    packed = pack_attention(params)
+    x = rng.rand_dense(jax.random.PRNGKey(22), (2, 8, cfg.d_model)) * 0.5
+    ref = attention_forward(
+        packed, x, cfg, use_kernel=False, precision=HI
+    )
+    y = attention_forward_sp(
+        packed, x, cfg, mesh=mesh, use_kernel=use_kernel, precision=HI
+    )
+    tol = max(2e-4, 2e-5 * float(np.abs(np.asarray(ref)).max()))
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref), atol=tol, rtol=0
+    )
