@@ -22,8 +22,10 @@ from smmb_tpu.models.transformer import (
 from smmb_tpu.models.moe import (
     TernaryMoEConfig,
     init_moe,
+    make_moe_train_step,
     moe_forward,
     pack_moe,
+    qat_moe_forward,
     route_top1,
 )
 from smmb_tpu.models.lm import (

@@ -128,6 +128,79 @@ def route_top1(router_logits: jax.Array, capacity: int):
     return dispatch, combine
 
 
+def load_balance_loss(router_logits: jax.Array, dispatch: jax.Array):
+    """Switch-Transformer auxiliary loss: E · Σ_e f_e · P_e, minimized at
+    uniform routing (f_e = fraction of tokens dispatched to expert e, P_e =
+    mean router probability). Differentiable through P only — f's argmax is
+    a constant, as in the original recipe."""
+    e = router_logits.shape[-1]
+    probs = jax.nn.softmax(router_logits, axis=-1)  # (N, E)
+    f = dispatch.sum(axis=2).mean(axis=0)  # (E,) dispatched fraction
+    p = probs.mean(axis=0)
+    return e * jnp.sum(jax.lax.stop_gradient(f) * p)
+
+
+def qat_moe_forward(params: dict, x: jax.Array, cfg: TernaryMoEConfig):
+    """Training forward on master weights: STE-ternarized experts around
+    the same routing as serving. Returns (y, aux_loss) — add
+    ``aux_weight·aux`` to the task loss to keep experts balanced."""
+    from smmb_tpu.models.train import absmean_scale, ternarize_ste
+    from smmb_tpu.ops.dense import prelu
+
+    hi = jax.lax.Precision.HIGHEST
+    n = x.shape[0]
+    cap = cfg.capacity(n)
+    logits = jnp.dot(x, params["router"], precision=hi)
+    dispatch, combine = route_top1(logits, cap)
+    x_e = jnp.einsum("nec,nd->ecd", dispatch, x, precision=hi)
+
+    def body(carry, inp):
+        x_slab, wu, bu, wd, bd = inp
+        wuq = ternarize_ste(wu) * absmean_scale(wu)
+        h = prelu(
+            jnp.dot(x_slab, wuq, preferred_element_type=jnp.float32) + bu,
+            cfg.alpha,
+        )
+        wdq = ternarize_ste(wd) * absmean_scale(wd)
+        y = jnp.dot(h, wdq, preferred_element_type=jnp.float32) + bd
+        return carry, y
+
+    _, y_e = jax.lax.scan(
+        body, None,
+        (x_e, params["w_up"], params["b_up"],
+         params["w_down"], params["b_down"]),
+    )
+    y = jnp.einsum("nec,ecd->nd", combine, y_e, precision=hi)
+    return y, load_balance_loss(logits, dispatch)
+
+
+def make_moe_train_step(
+    cfg: TernaryMoEConfig,
+    learning_rate: float = 1e-3,
+    aux_weight: float = 1e-2,
+):
+    """(init_opt, train_step) for MSE regression on the routed ternary MoE;
+    ``train_step(params, opt_state, x, y) -> (params, opt_state, loss)``."""
+    import optax
+
+    tx = optax.adam(learning_rate)
+
+    def loss_fn(params, x, y):
+        pred, aux = qat_moe_forward(params, x, cfg)
+        return jnp.mean((pred - y) ** 2) + aux_weight * aux
+
+    def init_opt(params):
+        return tx.init(params)
+
+    def train_step(params, opt_state, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_opt, train_step
+
+
 def _expert_ffn(x_e, w_up, s_up, b_up, w_down, s_down, b_down, alpha,
                 compute_dtype, use_kernel):
     """One expert's packed FFN on its (C, D) token slab."""

@@ -111,6 +111,30 @@ def test_moe_ep_matches_single(data, model):
     )
 
 
+def test_moe_train_step_reduces_loss():
+    from smmb_tpu.models.moe import make_moe_train_step, qat_moe_forward
+
+    cfg = TernaryMoEConfig(d_model=64, d_ff=128, n_experts=4)
+    params = init_moe(jax.random.PRNGKey(17), cfg)
+    params = jax.tree.map(lambda a: a + 0.01, params)
+    x = rng.rand_dense(jax.random.PRNGKey(18), (32, cfg.d_model)) * 0.5
+    y = rng.rand_dense(jax.random.PRNGKey(19), (32, cfg.d_model)) * 0.5
+    init_opt, step = make_moe_train_step(cfg, learning_rate=1e-2)
+    opt = init_opt(params)
+    jstep = jax.jit(step)
+    losses = []
+    for _ in range(8):
+        params, opt, loss = jstep(params, opt, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    # the trained masters pack to the serving form and produce finite output
+    out = moe_forward(pack_moe(params, quantize=True), x, cfg, use_kernel=False)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # aux loss is differentiable and non-negative
+    _, aux = qat_moe_forward(params, x, cfg)
+    assert float(aux) >= 0
+
+
 def test_moe_ep_rejects_uneven_experts():
     mesh = make_mesh(1, 8)
     params = init_moe(jax.random.PRNGKey(13), CFG)  # 4 experts, 8 shards
