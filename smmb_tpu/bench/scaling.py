@@ -15,6 +15,10 @@ efficiency at 2+ hosts" metric — for all three weight partitionings:
 * ``tp_block`` — one tensor-parallel transformer block (Megatron column/row
   pairing, two psums; parallel/tp_transformer.py) at 4096-d/8-head/4096-ff,
   rate counted over all six packed projections
+* ``pp_lm`` — pipeline-parallel LM forward (GPipe microbatch schedule;
+  parallel/pp_lm.py), layers = max(4, stages), rate over all block weights
+* ``ep_moe`` — expert-parallel MoE (top-1 routing, one psum;
+  parallel/ep_moe.py), 8 experts of 1024→4096→1024
 
 On CI this runs on the virtual CPU mesh (numbers are not meaningful, the
 machinery is what's exercised); on a real pod slice the same code reports
@@ -40,7 +44,9 @@ from smmb_tpu.parallel.sharded import (
 )
 from smmb_tpu.utils import rng
 
-PARTITIONINGS = ("column", "row", "overlap", "bcsr_column", "tp_block")
+PARTITIONINGS = (
+    "column", "row", "overlap", "bcsr_column", "tp_block", "pp_lm", "ep_moe"
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,14 +125,62 @@ def run_scaling(
         ) + int(np.count_nonzero(np.asarray(bparams["w_up"]))) + int(
             np.count_nonzero(np.asarray(bparams["w_down"]))
         )
+    elif partitioning == "pp_lm":
+        from smmb_tpu.models.lm import TernaryLMConfig, init_lm, pack_lm
+
+        max_stages = max(m for _, m in mesh_shapes)
+        lcfg = TernaryLMConfig(
+            vocab=2048, d_model=1024, n_heads=8, d_ff=4096,
+            n_layers=max(4, max_stages), max_len=64,
+        )
+        lparams = init_lm(jax.random.PRNGKey(4), lcfg)
+        lpacked = pack_lm(lparams)
+        ltoks = jax.random.randint(
+            jax.random.PRNGKey(5), (8, 32), 0, lcfg.vocab
+        )
+        lm_nnz = sum(
+            int(np.count_nonzero(np.asarray(w)))
+            for blk in lparams["blocks"]
+            for w in (
+                [blk["attn"][n] for n in ("wq", "wk", "wv", "wo")]
+                + [blk["w_up"], blk["w_down"]]
+            )
+        )
+    elif partitioning == "ep_moe":
+        from smmb_tpu.models.moe import (
+            TernaryMoEConfig,
+            init_moe,
+            pack_moe,
+        )
+
+        ecfg = TernaryMoEConfig(d_model=1024, d_ff=4096, n_experts=8)
+        eparams = init_moe(jax.random.PRNGKey(4), ecfg)
+        epacked = pack_moe(eparams)
+        ex = rng.rand_dense(jax.random.PRNGKey(5), (m, ecfg.d_model)) * 0.5
+        moe_nnz = int(np.count_nonzero(np.asarray(eparams["w_up"]))) + int(
+            np.count_nonzero(np.asarray(eparams["w_down"]))
+        )
     else:
         p = pack_ternary(w_np)
 
     points: list[ScalePoint] = []
-    base_rate = None
-    base_dev = None
+    _base = {"rate": None, "dev": None}
+
+    def record(ndev, label, fn, args, work):
+        """Measure fn(*args), convert to nnz/s via `work`, append the point
+        (shared epilogue for every partitioning branch)."""
+        meas = measure_device(fn, *args, iters=iters, reps=reps)
+        rate = work / meas.mean_s
+        if _base["rate"] is None:
+            _base["rate"], _base["dev"] = rate, ndev
+        eff = rate / (_base["rate"] * ndev / _base["dev"])
+        points.append(
+            ScalePoint(partitioning, ndev, label, meas.mean_s, rate, eff)
+        )
+
     for data, model in mesh_shapes:
         ndev = data * model
+        label = f"{data}x{model}"
         if ndev > len(jax.devices()):
             continue
         mesh = make_mesh(data, model)
@@ -136,17 +190,7 @@ def run_scaling(
             def fn(x, shards, b, _mesh=mesh):
                 return sharded_bcsr_spmm(x, shards, b, mesh=_mesh)
 
-            meas = measure_device(fn, x, shards, b, iters=iters, reps=reps)
-            rate = bcsr_nnz * m / meas.mean_s
-            if base_rate is None:
-                base_rate, base_dev = rate, ndev
-            eff = rate / (base_rate * ndev / base_dev)
-            points.append(
-                ScalePoint(
-                    partitioning, ndev, f"{data}x{model}", meas.mean_s,
-                    rate, eff,
-                )
-            )
+            record(ndev, label, fn, (x, shards, b), bcsr_nnz * m)
             continue
         if partitioning == "tp_block":
             from smmb_tpu.parallel.tp_transformer import (
@@ -158,6 +202,7 @@ def run_scaling(
                 bcfg.attn.n_heads % model
                 or bcfg.d_model % (512 * model)
                 or bcfg.d_ff % (512 * model)
+                or xb.shape[0] % data
             ):
                 continue  # shard-alignment constraints (see tp_transformer)
             bshard = shard_block_tp(bpacked, mesh)
@@ -167,16 +212,43 @@ def run_scaling(
                     bshard, xb, bcfg, mesh=_mesh, use_kernel=use_kernel
                 )
 
-            meas = measure_device(fn, xb, bshard, iters=iters, reps=reps)
-            rate = blk_nnz * m / meas.mean_s
-            if base_rate is None:
-                base_rate, base_dev = rate, ndev
-            eff = rate / (base_rate * ndev / base_dev)
-            points.append(
-                ScalePoint(
-                    partitioning, ndev, f"{data}x{model}", meas.mean_s,
-                    rate, eff,
+            record(ndev, label, fn, (xb, bshard), blk_nnz * m)
+            continue
+        if partitioning == "pp_lm":
+            from smmb_tpu.parallel.pp_lm import lm_forward_pp, shard_lm_pp
+
+            if lcfg.n_layers % model or ltoks.shape[0] % (2 * data):
+                continue  # stage/microbatch divisibility
+            lshard = shard_lm_pp(lpacked, mesh)
+
+            def fn(ltoks, lshard, _mesh=mesh):
+                return lm_forward_pp(
+                    lshard, ltoks, lcfg, mesh=_mesh, microbatches=2,
+                    use_kernel=use_kernel,
                 )
+
+            record(ndev, label, fn, (ltoks, lshard), lm_nnz * ltoks.size)
+            continue
+        if partitioning == "ep_moe":
+            from smmb_tpu.parallel.ep_moe import (
+                moe_forward_ep,
+                shard_moe_ep,
+            )
+
+            if ecfg.n_experts % model or ex.shape[0] % data:
+                continue
+            eshard = shard_moe_ep(epacked, mesh)
+
+            def fn(ex, eshard, _mesh=mesh):
+                return moe_forward_ep(
+                    eshard, ex, ecfg, mesh=_mesh, use_kernel=use_kernel
+                )
+
+            # only ~1/E of each expert's weights are touched per token;
+            # count routed-token nnz work: nnz_per_token = total/E
+            record(
+                ndev, label, fn, (ex, eshard),
+                (moe_nnz / ecfg.n_experts) * m,
             )
             continue
         if partitioning == "row":
@@ -195,16 +267,7 @@ def run_scaling(
             w_ = TernaryPacked(data=data_arr, rows=k, cols=n, nnz=p.nnz)
             return spmm(x, w_, b, mesh=mesh, use_kernel=use_kernel)
 
-        meas = measure_device(fn, x, ws.data, b, iters=iters, reps=reps)
-        rate = p.nnz * m / meas.mean_s
-        if base_rate is None:
-            base_rate, base_dev = rate, ndev
-        eff = rate / (base_rate * ndev / base_dev)
-        points.append(
-            ScalePoint(
-                partitioning, ndev, f"{data}x{model}", meas.mean_s, rate, eff
-            )
-        )
+        record(ndev, label, fn, (x, ws.data, b), p.nnz * m)
     return points
 
 

@@ -272,6 +272,13 @@ def generate(
     One jitted program: prefill then a ``lax.scan`` of decode steps —
     static shapes throughout (cache preallocated at ``cfg.max_len``).
     """
+    if prompt.shape[1] + steps > cfg.max_len:
+        # dynamic_update_slice clamps out-of-range writes, which would
+        # silently corrupt the cache — fail loudly instead
+        raise ValueError(
+            f"prompt_len={prompt.shape[1]} + steps={steps} exceeds "
+            f"max_len={cfg.max_len}"
+        )
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
     cache = lm_init_cache(cfg, prompt.shape[0])
     logits, cache = lm_prefill(packed, prompt, cache, cfg, **kw)

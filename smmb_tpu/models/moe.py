@@ -128,14 +128,18 @@ def route_top1(router_logits: jax.Array, capacity: int):
     return dispatch, combine
 
 
-def load_balance_loss(router_logits: jax.Array, dispatch: jax.Array):
+def load_balance_loss(router_logits: jax.Array):
     """Switch-Transformer auxiliary loss: E · Σ_e f_e · P_e, minimized at
-    uniform routing (f_e = fraction of tokens dispatched to expert e, P_e =
-    mean router probability). Differentiable through P only — f's argmax is
-    a constant, as in the original recipe."""
+    uniform routing. f_e is the *pre-capacity* routed fraction (argmax
+    assignments, as in the Switch recipe — using post-drop dispatch would
+    cap an overloaded expert's penalty exactly when balancing matters
+    most); P_e is the mean router probability. Differentiable through P
+    only — f's argmax is a constant."""
     e = router_logits.shape[-1]
     probs = jax.nn.softmax(router_logits, axis=-1)  # (N, E)
-    f = dispatch.sum(axis=2).mean(axis=0)  # (E,) dispatched fraction
+    f = jax.nn.one_hot(
+        jnp.argmax(router_logits, axis=-1), e, dtype=probs.dtype
+    ).mean(axis=0)
     p = probs.mean(axis=0)
     return e * jnp.sum(jax.lax.stop_gradient(f) * p)
 
@@ -171,7 +175,7 @@ def qat_moe_forward(params: dict, x: jax.Array, cfg: TernaryMoEConfig):
          params["w_down"], params["b_down"]),
     )
     y = jnp.einsum("nec,ecd->nd", combine, y_e, precision=hi)
-    return y, load_balance_loss(logits, dispatch)
+    return y, load_balance_loss(logits)
 
 
 def make_moe_train_step(

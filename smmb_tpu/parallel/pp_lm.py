@@ -165,13 +165,7 @@ def lm_forward_pp(
         check_vma=False,  # pallas_call outputs carry no vma info yet
     )(packed["blocks_stacked"], xs)
 
-    h = rmsnorm(ys.reshape(b, t, cfg.d_model), packed["norm_f"], cfg.eps)
-    from smmb_tpu.kernels.packed_spmm import packed_spmm
-    from smmb_tpu.ops.spmm import packed_spmm_jnp
+    from smmb_tpu.models.lm import _head_logits
 
-    h2 = h.reshape(b * t, cfg.d_model)
-    if use_kernel:
-        y = packed_spmm(h2, packed["head"], compute_dtype=compute_dtype)
-    else:
-        y = packed_spmm_jnp(h2, packed["head"], dtype=jnp.float32)
-    return (y * packed["head_scale"]).reshape(b, t, -1)
+    h = rmsnorm(ys.reshape(b, t, cfg.d_model), packed["norm_f"], cfg.eps)
+    return _head_logits(packed, h, cfg, compute_dtype, use_kernel)

@@ -47,8 +47,8 @@ def _ring_body(q, k, v, s, causal, precision):
 
     q_pos = me * tq + jnp.arange(tq)  # global positions of my queries
 
-    def step(carry, i):
-        kc, vc, m, l, acc = carry
+    def accum(kc, vc, m, l, acc, i):
+        """Fold the currently-held K/V chunk into the online softmax."""
         src = (me - i) % s  # ring owner of the chunk we currently hold
         scores = (
             jnp.einsum(
@@ -69,15 +69,23 @@ def _ring_body(q, k, v, s, causal, precision):
             "bhqk,bkhd->bhqd", p, vc.astype(jnp.float32),
             precision=precision,
         )
+        return m_new, l, acc
+
+    def step(carry, i):
+        kc, vc, m, l, acc = carry
+        m, l, acc = accum(kc, vc, m, l, acc, i)
         kc, vc = jax.lax.ppermute((kc, vc), MODEL_AXIS, perm)
-        return (kc, vc, m_new, l, acc), None
+        return (kc, vc, m, l, acc), None
 
     m0 = jnp.full((b, h, tq), _NEG, jnp.float32)
     l0 = jnp.zeros((b, h, tq), jnp.float32)
     a0 = jnp.zeros((b, h, tq, hd), jnp.float32)
-    (_, _, m, l, acc), _ = jax.lax.scan(
-        step, (k, v, m0, l0, a0), jnp.arange(s)
+    # s-1 rotated steps, then the last held chunk folds in without the
+    # wasted final rotation (S-1 collectives total, as documented)
+    (kc, vc, m, l, acc), _ = jax.lax.scan(
+        step, (k, v, m0, l0, a0), jnp.arange(s - 1)
     )
+    m, l, acc = accum(kc, vc, m, l, acc, s - 1)
     out = acc / jnp.maximum(l, 1e-30)[..., None]  # (B, H, Tq, hd)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 

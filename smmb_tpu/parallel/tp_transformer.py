@@ -120,19 +120,18 @@ def _block_body_tp(
     compute_dtype,
     use_kernel: bool,
     precision,
+    qkv=None,
 ) -> jax.Array:
-    """Per-device block body (runs inside shard_map): local heads + 2 psums."""
+    """Per-device block body (runs inside shard_map): local heads + 2 psums.
+
+    ``qkv`` lets a prefill body pass in the projections it already computed
+    for the cache fill (as (B, T, H_local, hd) triples) instead of paying
+    the three column SpMMs twice.
+    """
     bl, t, dm = x.shape
     d_loc = dm // ms
-    lcfg = dataclasses.replace(
-        cfg.attn, d_model=d_loc, n_heads=cfg.attn.n_heads // ms
-    )
-
-    def col(inp, w, bias, scale, alpha=None, rows=dm):
-        # column-parallel: full-K contraction onto owned output columns
-        return _local_spmm(
-            inp * scale, w, bias, alpha, compute_dtype, use_kernel, rows
-        )
+    h_loc = cfg.attn.n_heads // ms
+    lcfg = dataclasses.replace(cfg.attn, d_model=d_loc, n_heads=h_loc)
 
     def row(inp, w, scale, rows):
         # row-parallel partial: owned-K contraction, bias/epilogue deferred
@@ -141,17 +140,23 @@ def _block_body_tp(
             inp * scale, w, None, None, compute_dtype, use_kernel, rows
         )
 
-    h = rmsnorm(x, d["norm1"], cfg.eps).reshape(bl * t, dm)
-    q = col(h, d["wq"], d["bq"], d["sq"]).reshape(bl, t, d_loc)
-    k = col(h, d["wk"], d["bk"], d["sk"]).reshape(bl, t, d_loc)
-    v = col(h, d["wv"], d["bv"], d["sv"]).reshape(bl, t, d_loc)
+    if qkv is None:
+        h = rmsnorm(x, d["norm1"], cfg.eps).reshape(bl * t, dm)
+        qkv = _qkv_local(
+            d, h, bl, t, h_loc, cfg.attn.head_dim,
+            compute_dtype, use_kernel, dm,
+        )
+    q, k, v = (a.reshape(bl, t, d_loc) for a in qkv)
     att = _attention_math(q, k, v, lcfg, precision=precision)
     part = row(att.reshape(bl * t, d_loc), d["wo"], d["so"], rows=d_loc)
     att_out = jax.lax.psum(part, MODEL_AXIS) + d["bo"]
     x = x + att_out.reshape(bl, t, dm)
 
     h2 = rmsnorm(x, d["norm2"], cfg.eps).reshape(bl * t, dm)
-    up = col(h2, d["w_up"], d["b_up"], d["s_up"], alpha=cfg.alpha)
+    up = _local_spmm(
+        h2 * d["s_up"], d["w_up"], d["b_up"], cfg.alpha,
+        compute_dtype, use_kernel, dm,
+    )
     part = row(up, d["w_down"], d["s_down"], rows=cfg.d_ff // ms)
     down = jax.lax.psum(part, MODEL_AXIS) + d["b_down"]
     return x + down.reshape(bl, t, dm)
@@ -341,7 +346,7 @@ def block_prefill_tp(
         h_loc = cfg.attn.n_heads // ms
         hd = cfg.attn.head_dim
         h = rmsnorm(x_l, d["norm1"], cfg.eps).reshape(bl * t, dm)
-        _, k, v = _qkv_local(
+        q, k, v = _qkv_local(
             d, h, bl, t, h_loc, hd, compute_dtype, use_kernel, dm
         )
         kc = jax.lax.dynamic_update_slice(
@@ -350,8 +355,10 @@ def block_prefill_tp(
         vc = jax.lax.dynamic_update_slice(
             vc, v.astype(vc.dtype), (0, pos, 0, 0)
         )
+        # reuse the cache-fill projections for the forward itself
         y = _block_body_tp(
-            d, x_l, cfg, ms, compute_dtype, use_kernel, precision
+            d, x_l, cfg, ms, compute_dtype, use_kernel, precision,
+            qkv=(q, k, v),
         )
         return y, kc, vc
 
@@ -541,6 +548,12 @@ def generate_tp(
     """TP greedy generation: one jitted prefill + ``lax.scan`` of TP decode
     steps, KV caches head-sharded throughout (models/lm.generate over the
     mesh)."""
+    if prompt.shape[1] + steps > cfg.max_len:
+        # cache writes clamp at max_len and would silently corrupt
+        raise ValueError(
+            f"prompt_len={prompt.shape[1]} + steps={steps} exceeds "
+            f"max_len={cfg.max_len}"
+        )
     kw = dict(
         compute_dtype=compute_dtype, use_kernel=use_kernel,
         precision=precision,
