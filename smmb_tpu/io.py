@@ -1,8 +1,9 @@
 """Format serialization (net-new; the reference persists nothing, SURVEY §5).
 
 A ternary-weight framework needs a serving artifact format: ``save``/``load``
-for every sparse format as a single .npz (portable, mmap-friendly), and the
-model-level save of packed MLP weights. Orbax handles training checkpoints of
+for every sparse format as a single .npz (portable, mmap-friendly), the
+model-level save of packed MLP weights, and ``save_pytree``/``load_pytree``
+for whole packed models (LM, MoE, blocks). Orbax handles training checkpoints of
 fp32 masters (plain pytrees — nothing custom needed; round-trip covered by
 tests/test_nn_io.py::test_orbax_training_checkpoint_roundtrip); this module
 covers the packed/indexed serving artifacts.
@@ -91,6 +92,47 @@ def load_packed_mlp(path: str) -> dict:
             jnp.asarray(z[f"s{i}"]) if f"s{i}" in z.files else jnp.float32(1.0)
         )
     return out
+
+
+def save_pytree(path: str, tree) -> None:
+    """Save any packed-model pytree (LM, MoE, transformer block, …) whose
+    leaves are arrays/scalars. Static metadata (TernaryPacked rows/cols/nnz,
+    dict keys, list lengths) lives in the pytree *structure* and is NOT
+    stored — ``load_pytree`` takes a template that re-supplies it."""
+    import jax
+
+    leaves = jax.tree.leaves(tree)
+    np.savez(
+        path,
+        __n_leaves__=np.array(len(leaves)),
+        **{f"leaf{i}": np.asarray(v) for i, v in enumerate(leaves)},
+    )
+
+
+def load_pytree(path: str, template):
+    """Load a ``save_pytree`` artifact into the structure of ``template``
+    (e.g. ``pack_lm(init_lm(key, cfg))`` for an LM): leaf count and shapes
+    must match; template leaf *values* are discarded."""
+    import jax
+
+    leaves, treedef = jax.tree.flatten(template)
+    z = np.load(path, allow_pickle=False)
+    n = int(z["__n_leaves__"])
+    if n != len(leaves):
+        raise ValueError(
+            f"artifact has {n} leaves but template has {len(leaves)} — "
+            "wrong template structure"
+        )
+    new = []
+    for i, old in enumerate(leaves):
+        arr = z[f"leaf{i}"]
+        if tuple(arr.shape) != tuple(np.shape(old)):
+            raise ValueError(
+                f"leaf {i}: artifact shape {arr.shape} != template "
+                f"{np.shape(old)}"
+            )
+        new.append(jnp.asarray(arr))
+    return jax.tree.unflatten(treedef, new)
 
 
 def save_params(path: str, params: dict) -> None:

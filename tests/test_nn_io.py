@@ -143,3 +143,46 @@ def test_save_load_float_meta_preserved(tmp_path):
         assert back.scale == 0.75
     finally:
         del smio_mod._KIND["FakeFmt"]
+
+
+def test_pytree_artifact_roundtrip_lm(tmp_path):
+    # whole-model serving artifact: save a packed LM, load into a template
+    # built from a *different* seed, and get identical serving logits
+    from smmb_tpu.models.lm import TernaryLMConfig, init_lm, lm_forward, pack_lm
+
+    cfg = TernaryLMConfig(
+        vocab=128, d_model=128, n_heads=2, d_ff=256, n_layers=2, max_len=16
+    )
+    packed = pack_lm(init_lm(jax.random.PRNGKey(0), cfg))
+    path = str(tmp_path / "lm.npz")
+    smio.save_pytree(path, packed)
+    template = pack_lm(init_lm(jax.random.PRNGKey(99), cfg))
+    back = smio.load_pytree(path, template)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 4), 0, cfg.vocab)
+    a = lm_forward(packed, toks, cfg, use_kernel=False)
+    b = lm_forward(back, toks, cfg, use_kernel=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pytree_artifact_rejects_wrong_template(tmp_path):
+    import pytest
+
+    from smmb_tpu.models.moe import TernaryMoEConfig, init_moe, pack_moe
+
+    cfg = TernaryMoEConfig(d_model=64, d_ff=128, n_experts=2)
+    packed = pack_moe(init_moe(jax.random.PRNGKey(3), cfg))
+    path = str(tmp_path / "moe.npz")
+    smio.save_pytree(path, packed)
+    # same structure, wrong shapes -> shape error, not silent corruption
+    bad_cfg = TernaryMoEConfig(d_model=128, d_ff=128, n_experts=2)
+    bad = pack_moe(init_moe(jax.random.PRNGKey(3), bad_cfg))
+    with pytest.raises(ValueError):
+        smio.load_pytree(path, bad)
+    back = smio.load_pytree(path, pack_moe(init_moe(jax.random.PRNGKey(9), cfg)))
+    from smmb_tpu.models.moe import moe_forward
+
+    x = rng.rand_dense(jax.random.PRNGKey(5), (8, cfg.d_model))
+    np.testing.assert_array_equal(
+        np.asarray(moe_forward(packed, x, cfg, use_kernel=False)),
+        np.asarray(moe_forward(back, x, cfg, use_kernel=False)),
+    )
