@@ -30,26 +30,46 @@ class TernaryAttentionConfig:
     n_heads: int
     causal: bool = True
     non_zero: int = 2  # expected weight density 1/non_zero
+    n_kv_heads: int | None = None  # grouped-query attention; None = MHA
 
     @property
     def head_dim(self) -> int:
         return self.d_model // self.n_heads
+
+    @property
+    def kv_heads(self) -> int:
+        """KV head count: n_kv_heads < n_heads is grouped-query attention
+        (shrinks the KV cache and its decode read traffic by the group
+        factor — the standard serving memory trade)."""
+        return self.n_kv_heads if self.n_kv_heads is not None else self.n_heads
+
+    @property
+    def kv_dim(self) -> int:
+        return self.kv_heads * self.head_dim
 
 
 _PROJS = ("wq", "wk", "wv", "wo")
 
 
 def init_attention(key: jax.Array, cfg: TernaryAttentionConfig) -> dict:
-    """Ternary projection masters + biases (reference distributions)."""
+    """Ternary projection masters + biases (reference distributions).
+
+    Under GQA (``n_kv_heads < n_heads``) the K/V projections map to
+    ``kv_dim`` columns instead of ``d_model``."""
     if cfg.d_model % cfg.n_heads:
         raise ValueError(f"d_model {cfg.d_model} % n_heads {cfg.n_heads}")
+    if cfg.n_heads % cfg.kv_heads:
+        raise ValueError(
+            f"n_heads {cfg.n_heads} % n_kv_heads {cfg.kv_heads} != 0"
+        )
     params = {}
     for name in _PROJS:
         key, kw, kb = jax.random.split(key, 3)
+        cols = cfg.kv_dim if name in ("wk", "wv") else cfg.d_model
         params[name] = rng.rand_ternary(
-            kw, (cfg.d_model, cfg.d_model), non_zero=cfg.non_zero
+            kw, (cfg.d_model, cols), non_zero=cfg.non_zero
         )
-        params[name.replace("w", "b")] = rng.rand_dense(kb, (cfg.d_model,))
+        params[name.replace("w", "b")] = rng.rand_dense(kb, (cols,))
     return params
 
 
@@ -74,6 +94,17 @@ def pack_attention(params: dict, quantize: bool = False) -> dict:
     return out
 
 
+def _repeat_kv(x, n_heads):
+    """Broadcast grouped KV heads up to the query head count.
+
+    x: (B, KVH, T, hd) or (B, T, KVH, hd) — repeats axis holding KVH
+    (assumed at position 1 for the former layout used here)."""
+    kvh = x.shape[1]
+    if kvh == n_heads:
+        return x
+    return jnp.repeat(x, n_heads // kvh, axis=1)
+
+
 def _attention_math(q, k, v, cfg: TernaryAttentionConfig, precision=None):
     """(B, T, D) projections → multi-head scaled dot-product attention.
 
@@ -86,10 +117,12 @@ def _attention_math(q, k, v, cfg: TernaryAttentionConfig, precision=None):
     b, t, d = q.shape
     h, hd = cfg.n_heads, cfg.head_dim
 
-    def split(x):
-        return x.reshape(b, t, h, hd).transpose(0, 2, 1, 3)  # (B, H, T, hd)
+    def split(x, heads):
+        return x.reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
 
-    q, k, v = split(q), split(k), split(v)
+    q = split(q, h)  # (B, H, T, hd)
+    k = _repeat_kv(split(k, cfg.kv_heads), h)
+    v = _repeat_kv(split(v, cfg.kv_heads), h)
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k,
         preferred_element_type=jnp.float32, precision=precision,
@@ -133,8 +166,9 @@ def init_kv_cache(
     dtype=jnp.float32,
 ) -> dict:
     """Static-shape KV cache for incremental decode (net-new vs reference;
-    serving requirement). ``pos`` counts tokens already written."""
-    shape = (batch, max_len, cfg.n_heads, cfg.head_dim)
+    serving requirement). ``pos`` counts tokens already written. Under GQA
+    the cache holds only ``kv_heads`` heads — group-factor smaller."""
+    shape = (batch, max_len, cfg.kv_heads, cfg.head_dim)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
@@ -142,9 +176,9 @@ def init_kv_cache(
     }
 
 
-def _split_heads(x, cfg: TernaryAttentionConfig):
+def _split_heads(x, cfg: TernaryAttentionConfig, heads: int | None = None):
     b, t, _ = x.shape
-    return x.reshape(b, t, cfg.n_heads, cfg.head_dim)
+    return x.reshape(b, t, heads or cfg.n_heads, cfg.head_dim)
 
 
 def _proj(packed, name, inp, cfg, compute_dtype, use_kernel):
@@ -171,8 +205,8 @@ def attention_prefill(
     ``attention_forward``) plus cache fill. Returns (y, cache)."""
     b, t, _ = x.shape
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
-    k = _split_heads(_proj(packed, "wk", x, cfg, **kw), cfg)
-    v = _split_heads(_proj(packed, "wv", x, cfg, **kw), cfg)
+    k = _split_heads(_proj(packed, "wk", x, cfg, **kw), cfg, cfg.kv_heads)
+    v = _split_heads(_proj(packed, "wv", x, cfg, **kw), cfg, cfg.kv_heads)
     cache = {
         "k": jax.lax.dynamic_update_slice(
             cache["k"], k.astype(cache["k"].dtype), (0, cache["pos"], 0, 0)
@@ -189,13 +223,18 @@ def attention_prefill(
 def _decode_attention_math(q, kc, vc, pos, head_dim, precision=None):
     """One-token attention over a static-length cache.
 
-    q: (B, 1, H, hd); kc/vc: (B, max_len, H, hd) with the new token already
-    written at ``pos``. Scores are masked beyond the live prefix — static
-    shapes keep XLA happy (no data-dependent slice sizes). Head count is
-    whatever the caller owns (shard-local under tensor parallelism).
-    Returns (B, 1, H·hd)."""
+    q: (B, 1, H, hd); kc/vc: (B, max_len, KVH, hd) with the new token
+    already written at ``pos`` (KVH < H is grouped-query attention — the
+    cache heads broadcast up to the query heads). Scores are masked beyond
+    the live prefix — static shapes keep XLA happy (no data-dependent slice
+    sizes). Head count is whatever the caller owns (shard-local under
+    tensor parallelism). Returns (B, 1, H·hd)."""
     b = q.shape[0]
     max_len = kc.shape[1]
+    if kc.shape[2] != q.shape[2]:
+        group = q.shape[2] // kc.shape[2]
+        kc = jnp.repeat(kc, group, axis=2)
+        vc = jnp.repeat(vc, group, axis=2)
     scores = jnp.einsum(
         "bqhd,bthd->bhqt", q, kc,
         preferred_element_type=jnp.float32, precision=precision,
@@ -226,8 +265,8 @@ def attention_decode_step(
         raise ValueError(f"decode step takes one token, got T={one}")
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
     q = _split_heads(_proj(packed, "wq", x_t, cfg, **kw), cfg)  # (B,1,H,hd)
-    k = _split_heads(_proj(packed, "wk", x_t, cfg, **kw), cfg)
-    v = _split_heads(_proj(packed, "wv", x_t, cfg, **kw), cfg)
+    k = _split_heads(_proj(packed, "wk", x_t, cfg, **kw), cfg, cfg.kv_heads)
+    v = _split_heads(_proj(packed, "wv", x_t, cfg, **kw), cfg, cfg.kv_heads)
     pos = cache["pos"]
     kc = jax.lax.dynamic_update_slice(
         cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)

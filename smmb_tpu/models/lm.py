@@ -55,6 +55,7 @@ class TernaryLMConfig:
     alpha: float = 0.2
     non_zero: int = 2
     eps: float = 1e-6
+    n_kv_heads: int | None = None  # grouped-query attention; None = MHA
 
     @property
     def block(self) -> TernaryBlockConfig:
@@ -66,6 +67,7 @@ class TernaryLMConfig:
             causal=True,
             non_zero=self.non_zero,
             eps=self.eps,
+            n_kv_heads=self.n_kv_heads,
         )
 
 

@@ -40,6 +40,7 @@ class TernaryBlockConfig:
     causal: bool = True
     non_zero: int = 2
     eps: float = 1e-6
+    n_kv_heads: int | None = None  # grouped-query attention; None = MHA
 
     @property
     def attn(self) -> TernaryAttentionConfig:
@@ -48,6 +49,7 @@ class TernaryBlockConfig:
             n_heads=self.n_heads,
             causal=self.causal,
             non_zero=self.non_zero,
+            n_kv_heads=self.n_kv_heads,
         )
 
 

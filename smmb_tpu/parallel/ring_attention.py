@@ -143,6 +143,10 @@ def attention_forward_sp(
     b, t, d = x.shape
     s = mesh.shape[MODEL_AXIS]
     hd = cfg.head_dim
+    if cfg.kv_heads != cfg.n_heads:
+        raise NotImplementedError(
+            "GQA is not yet supported in the sequence-parallel layer"
+        )
 
     names = ("wq", "wk", "wv", "wo")
     arrs = {n: packed[n].data for n in names}

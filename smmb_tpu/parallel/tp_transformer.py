@@ -182,6 +182,11 @@ def block_forward_tp(
     ms = _model_size(mesh)
     if cfg.attn.n_heads % ms:
         raise ValueError(f"n_heads={cfg.attn.n_heads} % model={ms} != 0")
+    if cfg.attn.kv_heads != cfg.attn.n_heads:
+        raise NotImplementedError(
+            "GQA is not yet supported under tensor parallelism "
+            "(K/V column shards assume d_model-wide projections)"
+        )
     arrs, specs = _block_arrs_specs(packed)
 
     def body(d, x_l):
@@ -301,6 +306,10 @@ def block_decode_step_tp(
     ``model``; the KV cache stays head-sharded throughout (no cache
     collectives — only the block's two output psums)."""
     ms = _model_size(mesh)
+    if cfg.attn.kv_heads != cfg.attn.n_heads:
+        raise NotImplementedError(
+            "GQA is not yet supported under tensor parallelism"
+        )
     arrs, specs = _block_arrs_specs(packed)
 
     def body(d, x_l, kc, vc, pos):
@@ -339,6 +348,10 @@ def block_prefill_tp(
 ) -> tuple[jax.Array, dict]:
     """TP prompt pass: full block forward + head-sharded cache fill."""
     ms = _model_size(mesh)
+    if cfg.attn.kv_heads != cfg.attn.n_heads:
+        raise NotImplementedError(
+            "GQA is not yet supported under tensor parallelism"
+        )
     arrs, specs = _block_arrs_specs(packed)
 
     def body(d, x_l, kc, vc, pos):

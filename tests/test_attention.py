@@ -8,8 +8,11 @@ import numpy as np
 from smmb_tpu.models.attention import (
     TernaryAttentionConfig,
     _attention_math,
+    attention_decode_step,
     attention_forward,
+    attention_prefill,
     init_attention,
+    init_kv_cache,
     pack_attention,
     qat_attention_forward,
 )
@@ -271,3 +274,80 @@ def test_decode_step_rejects_multi_token(key):
     x2 = rng.rand_dense(jax.random.PRNGKey(5), (1, 2, 64))
     with pytest.raises(ValueError):
         attention_decode_step(packed, x2, cache, cfg, use_kernel=False)
+
+
+class TestGQA:
+    """Grouped-query attention: n_kv_heads < n_heads."""
+
+    CFG = TernaryAttentionConfig(d_model=256, n_heads=8, n_kv_heads=2)
+
+    def _setup(self, seed=0):
+        params = init_attention(jax.random.PRNGKey(seed), self.CFG)
+        packed = pack_attention(params)
+        x = rng.rand_dense(jax.random.PRNGKey(seed + 1), (2, 6, 256)) * 0.5
+        return params, packed, x
+
+    def test_shapes(self):
+        params, _, _ = self._setup()
+        assert params["wk"].shape == (256, 64)  # kv_dim = 2 * 32
+        assert params["wq"].shape == (256, 256)
+        cache = init_kv_cache(self.CFG, batch=2, max_len=8)
+        assert cache["k"].shape == (2, 8, 2, 32)  # kv_heads only
+
+    def test_forward_matches_repeated_mha(self):
+        # oracle: materialize the repeated K/V projections as an MHA layer
+        import dataclasses as dc
+
+        params, packed, x = self._setup(3)
+        y = attention_forward(packed, x, self.CFG, use_kernel=False)
+        group = self.CFG.n_heads // self.CFG.kv_heads
+        hd = self.CFG.head_dim
+
+        def widen(w):  # (D, KVH*hd) -> (D, H*hd) repeating per head
+            return np.repeat(
+                np.asarray(w).reshape(-1, self.CFG.kv_heads, hd),
+                group, axis=1,
+            ).reshape(np.asarray(w).shape[0], -1)
+
+        def widen_b(b):
+            return np.repeat(
+                np.asarray(b).reshape(self.CFG.kv_heads, hd), group, axis=0
+            ).reshape(-1)
+
+        mha_params = dict(params)
+        mha_params["wk"] = jnp.asarray(widen(params["wk"]))
+        mha_params["bk"] = jnp.asarray(widen_b(params["bk"]))
+        mha_params["wv"] = jnp.asarray(widen(params["wv"]))
+        mha_params["bv"] = jnp.asarray(widen_b(params["bv"]))
+        mha_cfg = dc.replace(self.CFG, n_kv_heads=None)
+        ref = attention_forward(
+            pack_attention(mha_params), x, mha_cfg, use_kernel=False
+        )
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref), atol=2e-4, rtol=0
+        )
+
+    def test_decode_matches_forward(self):
+        _, packed, x = self._setup(5)
+        HI = jax.lax.Precision.HIGHEST
+        full = attention_forward(
+            packed, x, self.CFG, use_kernel=False, precision=HI
+        )
+        cache = init_kv_cache(self.CFG, batch=2, max_len=8)
+        _, cache = attention_prefill(
+            packed, x[:, :-1], cache, self.CFG, use_kernel=False, precision=HI
+        )
+        y_t, cache = attention_decode_step(
+            packed, x[:, -1:], cache, self.CFG, use_kernel=False, precision=HI
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_t[:, 0]), np.asarray(full[:, -1]), atol=2e-4, rtol=0
+        )
+        assert int(cache["pos"]) == x.shape[1]
+
+    def test_rejects_bad_kv_heads(self):
+        import pytest
+
+        cfg = TernaryAttentionConfig(d_model=256, n_heads=8, n_kv_heads=3)
+        with pytest.raises(ValueError):
+            init_attention(jax.random.PRNGKey(0), cfg)

@@ -119,3 +119,25 @@ def test_lm_quantized_pack():
     toks = jax.random.randint(jax.random.PRNGKey(10), (1, 4), 0, CFG.vocab)
     logits = lm_forward(packed, toks, CFG)
     assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_lm_gqa_decode_matches_forward():
+    # grouped-query attention end to end: smaller KV cache, same serving
+    # contract (prefill + decode == full forward)
+    cfg = TernaryLMConfig(
+        vocab=256, d_model=256, n_heads=8, d_ff=256, n_layers=2,
+        max_len=32, n_kv_heads=2,
+    )
+    params = init_lm(jax.random.PRNGKey(71), cfg)
+    packed = pack_lm(params)
+    toks = jax.random.randint(jax.random.PRNGKey(72), (2, 6), 0, cfg.vocab)
+    full = lm_forward(packed, toks, cfg, use_kernel=False)
+    cache = lm_init_cache(cfg, batch=2)
+    assert cache[0]["k"].shape == (2, 32, 2, 32)  # kv_heads=2 only
+    _, cache = lm_prefill(packed, toks[:, :-1], cache, cfg, use_kernel=False)
+    step_logits, _ = lm_decode_step(
+        packed, toks[:, -1], cache, cfg, use_kernel=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(full[:, -1]), atol=2e-4, rtol=0
+    )
