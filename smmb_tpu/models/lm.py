@@ -257,8 +257,31 @@ def make_lm_train_step(cfg: TernaryLMConfig, learning_rate: float = 1e-3):
     return init_opt, train_step
 
 
+def _make_sampler(temperature: float, top_k: int | None):
+    """Token-selection rule for ``generate``.
+
+    temperature == 0 → greedy argmax (key unused). Otherwise softmax
+    sampling at the given temperature, optionally truncated to the top-k
+    logits (standard serving controls; everything static-shape).
+    """
+    if temperature == 0.0:
+        return lambda key, logits: jnp.argmax(logits, axis=-1)
+
+    def sample(key, logits):
+        logits = logits / jnp.float32(temperature)
+        if top_k is not None:
+            kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        return jax.random.categorical(key, logits, axis=-1)
+
+    return sample
+
+
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "steps", "compute_dtype", "use_kernel")
+    jax.jit,
+    static_argnames=(
+        "cfg", "steps", "compute_dtype", "use_kernel", "temperature", "top_k"
+    ),
 )
 def generate(
     packed: dict,
@@ -268,11 +291,16 @@ def generate(
     *,
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
+    temperature: float = 0.0,
+    top_k: int | None = None,
+    key: jax.Array | None = None,
 ) -> jax.Array:
-    """Greedy generation: (B, T) prompt → (B, steps) continuation tokens.
+    """Generation: (B, T) prompt → (B, steps) continuation tokens.
 
-    One jitted program: prefill then a ``lax.scan`` of decode steps —
-    static shapes throughout (cache preallocated at ``cfg.max_len``).
+    Greedy by default; ``temperature > 0`` switches to softmax sampling
+    (optionally top-k truncated) driven by ``key``. One jitted program:
+    prefill then a ``lax.scan`` of decode steps — static shapes throughout
+    (cache preallocated at ``cfg.max_len``).
     """
     if prompt.shape[1] + steps > cfg.max_len:
         # dynamic_update_slice clamps out-of-range writes, which would
@@ -281,16 +309,25 @@ def generate(
             f"prompt_len={prompt.shape[1]} + steps={steps} exceeds "
             f"max_len={cfg.max_len}"
         )
+    if temperature > 0.0 and key is None:
+        raise ValueError("temperature > 0 sampling needs a PRNG key")
+    if key is None:
+        key = jax.random.PRNGKey(0)  # unused by the greedy sampler
+    sampler = _make_sampler(temperature, top_k)
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
     cache = lm_init_cache(cfg, prompt.shape[0])
     logits, cache = lm_prefill(packed, prompt, cache, cfg, **kw)
-    tok0 = jnp.argmax(logits, axis=-1)
+    key, k0 = jax.random.split(key)
+    tok0 = sampler(k0, logits)
 
     def step(carry, _):
-        tok, cache = carry
+        tok, cache, key = carry
         logits, cache = lm_decode_step(packed, tok, cache, cfg, **kw)
-        nxt = jnp.argmax(logits, axis=-1)
-        return (nxt, cache), tok
+        key, ks = jax.random.split(key)
+        nxt = sampler(ks, logits)
+        return (nxt, cache, key), tok
 
-    (_, _), toks = jax.lax.scan(step, (tok0, cache), None, length=steps)
+    (_, _, _), toks = jax.lax.scan(
+        step, (tok0, cache, key), None, length=steps
+    )
     return jnp.moveaxis(toks, 0, 1)  # (B, steps)

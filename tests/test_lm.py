@@ -141,3 +141,27 @@ def test_lm_gqa_decode_matches_forward():
     np.testing.assert_allclose(
         np.asarray(step_logits), np.asarray(full[:, -1]), atol=2e-4, rtol=0
     )
+
+
+def test_generate_sampling():
+    packed, toks = _setup(13)
+    key = jax.random.PRNGKey(42)
+    out = generate(
+        packed, toks, CFG, 6, temperature=0.8, top_k=16, key=key
+    )
+    assert out.shape == (2, 6)
+    assert np.all((np.asarray(out) >= 0) & (np.asarray(out) < CFG.vocab))
+    # deterministic given the key; different keys explore
+    out2 = generate(
+        packed, toks, CFG, 6, temperature=0.8, top_k=16, key=key
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = generate(
+        packed, toks, CFG, 6, temperature=5.0, key=jax.random.PRNGKey(7)
+    )
+    assert not np.array_equal(np.asarray(out), np.asarray(out3))
+    # temperature=0 stays the greedy path
+    import pytest
+
+    with pytest.raises(ValueError):
+        generate(packed, toks, CFG, 6, temperature=0.5)  # no key
