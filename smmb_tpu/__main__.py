@@ -1,4 +1,4 @@
-"""CLI: ``python -m smmb_tpu {showcase,sweep,scaling,mlp,decode,headline}``.
+"""CLI: ``python -m smmb_tpu {showcase,sweep,scaling,mlp,decode,lm,headline}``.
 
 The L5 automation surface (reference: ./benchmark.sh + parse-out2csv.sh +
 performance.py, SURVEY.md §3.5) as one entry point.
@@ -26,6 +26,10 @@ def main():
         from smmb_tpu.bench.decode_bench import main as decode_main
 
         decode_main(rest)
+    elif mode == "lm":
+        from smmb_tpu.bench.lm_bench import main as lm_main
+
+        lm_main(rest)
     elif mode == "scaling":
         from smmb_tpu.bench.scaling import main as scaling_main
 

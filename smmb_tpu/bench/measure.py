@@ -102,15 +102,36 @@ def _device_loop(fn, n_iters: int):
     import jax.numpy as jnp
 
     def run(args):
+        # The loop must carry a TRUE VALUE dependence from each iteration's
+        # output into the next iteration's input. optimization_barrier is
+        # not enough on every backend: the remote-TPU compile path was
+        # observed hoisting the (formally loop-invariant) fn call out of
+        # the scan, collapsing any loop length to one call — and a
+        # sum(out)*0.0 probe alone is foldable for integer outputs,
+        # DCE-ing fn entirely. So: reduce the output to a scalar that is
+        # finite at runtime but not provably so, and gate the smallest
+        # input leaf on it with a value-preserving `where` — each
+        # iteration's inputs then genuinely depend on the previous output.
+        leaves0 = jax.tree_util.tree_leaves(args)
+        small = min(
+            range(len(leaves0)), key=lambda i: getattr(leaves0[i], "size", 1)
+        )
+        treedef = jax.tree_util.tree_structure(args)
+
         def body(carry, _):
-            carry = jax.lax.optimization_barrier(carry)
             out = fn(*carry)
-            probe = jax.tree_util.tree_reduce(
-                lambda a, l: a + jnp.sum(l) * 0.0,
+            live = jax.tree_util.tree_reduce(
+                lambda a, l: a + jnp.sum(jnp.abs(l)).astype(jnp.float32),
                 out,
                 jnp.float32(0.0),
             )
-            return carry, probe
+            leaves = jax.tree_util.tree_leaves(carry)
+            lv = leaves[small]
+            # always-true at runtime (live is finite), unprovable statically
+            leaves[small] = jnp.where(live < jnp.inf, lv, jnp.zeros_like(lv))
+            carry = jax.tree_util.tree_unflatten(treedef, leaves)
+            return carry, live
+
         _, probes = jax.lax.scan(body, args, None, length=n_iters)
         return probes[-1]
 
@@ -143,27 +164,34 @@ def measure_device(
     ``iters`` overrides the calibrated R (step 1 skipped).
     """
     def run(f) -> float:
+        # time by MATERIALIZING the loop's scalar probe: float() forces a
+        # device-to-host read of a value that depends on every iteration,
+        # so it cannot complete early. block_until_ready is NOT trusted —
+        # the remote-TPU tunnel was observed returning from it without
+        # waiting, which silently turns every walltime into ~0.
         t0 = time.perf_counter()
-        jax.block_until_ready(f(args))
+        float(f(args))
         return time.perf_counter() - t0
 
     if iters is None:
         iters = 16
         while True:
             loop = _device_loop(fn, iters)
-            jax.block_until_ready(loop(args))  # compile
+            run(loop)  # compile + settle
             t = min(run(loop), run(loop))
             if t >= min_batch_s or iters >= 1 << 18:
                 break
-            # overshoot toward the target like the reference's ×2 retry
-            iters = max(
-                2 * iters, int(iters * min_batch_s / max(t, 1e-9)) + 1
+            # overshoot toward the target like the reference's ×2 retry,
+            # capped so a mis-measured fast round can't queue a monster loop
+            iters = min(
+                max(2 * iters, int(iters * min_batch_s / max(t, 1e-9)) + 1),
+                1 << 18,
             )
 
     short = _device_loop(fn, iters)
     long = _device_loop(fn, 2 * iters)
-    jax.block_until_ready(short(args))
-    jax.block_until_ready(long(args))
+    run(short)  # compile
+    run(long)
 
     t_shorts, t_longs = [], []
     for _ in range(reps):
