@@ -94,19 +94,13 @@ def pack_attention(params: dict, quantize: bool = False) -> dict:
     return out
 
 
-def _repeat_kv(x, n_heads):
-    """Broadcast grouped KV heads up to the query head count.
-
-    x: (B, KVH, T, hd) or (B, T, KVH, hd) — repeats axis holding KVH
-    (assumed at position 1 for the former layout used here)."""
-    kvh = x.shape[1]
-    if kvh == n_heads:
-        return x
-    return jnp.repeat(x, n_heads // kvh, axis=1)
-
-
 def _attention_math(q, k, v, cfg: TernaryAttentionConfig, precision=None):
     """(B, T, D) projections → multi-head scaled dot-product attention.
+
+    Under GQA the query heads are grouped over the (fewer) KV heads with
+    grouped einsums — the KV tensors are NEVER materialized at the query
+    head count (a broadcast repeat costs a full cache-sized write+read per
+    call, more than GQA's read saving; measured on-chip).
 
     ``precision=None`` keeps the TPU default (single-pass-bf16 MXU inputs,
     f32 accumulation) — the serving configuration. Pass
@@ -116,23 +110,24 @@ def _attention_math(q, k, v, cfg: TernaryAttentionConfig, precision=None):
     """
     b, t, d = q.shape
     h, hd = cfg.n_heads, cfg.head_dim
+    kvh = cfg.kv_heads
+    g = h // kvh
 
-    def split(x, heads):
-        return x.reshape(b, t, heads, hd).transpose(0, 2, 1, 3)
-
-    q = split(q, h)  # (B, H, T, hd)
-    k = _repeat_kv(split(k, cfg.kv_heads), h)
-    v = _repeat_kv(split(v, cfg.kv_heads), h)
+    # q: (B, KVH, G, T, hd); k/v: (B, KVH, T, hd)
+    q = q.reshape(b, t, kvh, g, hd).transpose(0, 2, 3, 1, 4)
+    k = k.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
     scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k,
+        "bkgqd,bktd->bkgqt", q, k,
         preferred_element_type=jnp.float32, precision=precision,
     ) / jnp.sqrt(jnp.float32(hd))
     if cfg.causal:
         mask = jnp.tril(jnp.ones((t, t), bool))
         scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=precision)
-    return out.transpose(0, 2, 1, 3).reshape(b, t, d)
+    out = jnp.einsum("bkgqt,bktd->bkgqd", probs, v, precision=precision)
+    # (B, KVH, G, T, hd) → (B, T, KVH·G·hd) = (B, T, D)
+    return out.transpose(0, 3, 1, 2, 4).reshape(b, t, d)
 
 
 def attention_forward(
@@ -224,25 +219,26 @@ def _decode_attention_math(q, kc, vc, pos, head_dim, precision=None):
     """One-token attention over a static-length cache.
 
     q: (B, 1, H, hd); kc/vc: (B, max_len, KVH, hd) with the new token
-    already written at ``pos`` (KVH < H is grouped-query attention — the
-    cache heads broadcast up to the query heads). Scores are masked beyond
-    the live prefix — static shapes keep XLA happy (no data-dependent slice
-    sizes). Head count is whatever the caller owns (shard-local under
-    tensor parallelism). Returns (B, 1, H·hd)."""
+    already written at ``pos`` (KVH < H is grouped-query attention — query
+    heads group over the cache heads via grouped einsums; the cache is
+    never materialized at H, which would cost a cache-sized write+read per
+    step). Scores are masked beyond the live prefix — static shapes keep
+    XLA happy (no data-dependent slice sizes). Head count is whatever the
+    caller owns (shard-local under tensor parallelism).
+    Returns (B, 1, H·hd)."""
     b = q.shape[0]
     max_len = kc.shape[1]
-    if kc.shape[2] != q.shape[2]:
-        group = q.shape[2] // kc.shape[2]
-        kc = jnp.repeat(kc, group, axis=2)
-        vc = jnp.repeat(vc, group, axis=2)
+    kvh = kc.shape[2]
+    g = q.shape[2] // kvh
+    qg = q.reshape(b, 1, kvh, g, q.shape[3])  # (B, 1, KVH, G, hd)
     scores = jnp.einsum(
-        "bqhd,bthd->bhqt", q, kc,
+        "bqkgd,btkd->bkgqt", qg, kc,
         preferred_element_type=jnp.float32, precision=precision,
     ) / jnp.sqrt(jnp.float32(head_dim))
     live = jnp.arange(max_len) <= pos  # includes the new token
-    scores = jnp.where(live[None, None, None, :], scores, -jnp.inf)
+    scores = jnp.where(live[None, None, None, None, :], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
-    out = jnp.einsum("bhqt,bthd->bqhd", probs, vc, precision=precision)
+    out = jnp.einsum("bkgqt,btkd->bqkgd", probs, vc, precision=precision)
     return out.reshape(b, 1, -1)
 
 
