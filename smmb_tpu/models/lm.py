@@ -315,7 +315,9 @@ def generate(
         key = jax.random.PRNGKey(0)  # unused by the greedy sampler
     sampler = _make_sampler(temperature, top_k)
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
-    cache = lm_init_cache(cfg, prompt.shape[0])
+    # the cache follows the serving dtype: a bf16 cache halves the decode's
+    # cache read traffic, which dominates at batch x long-context
+    cache = lm_init_cache(cfg, prompt.shape[0], dtype=compute_dtype)
     logits, cache = lm_prefill(packed, prompt, cache, cfg, **kw)
     key, k0 = jax.random.split(key)
     tok0 = sampler(k0, logits)

@@ -571,7 +571,8 @@ def generate_tp(
         compute_dtype=compute_dtype, use_kernel=use_kernel,
         precision=precision,
     )
-    cache = lm_init_cache_tp(cfg, prompt.shape[0], mesh)
+    # cache follows the serving dtype (halves decode cache traffic in bf16)
+    cache = lm_init_cache_tp(cfg, prompt.shape[0], mesh, dtype=compute_dtype)
     logits, cache = lm_prefill_tp(packed, prompt, cache, cfg, mesh=mesh, **kw)
     tok0 = jnp.argmax(logits, axis=-1)
 
