@@ -131,7 +131,10 @@ def _block_body_tp(
     bl, t, dm = x.shape
     d_loc = dm // ms
     h_loc = cfg.attn.n_heads // ms
-    lcfg = dataclasses.replace(cfg.attn, d_model=d_loc, n_heads=h_loc)
+    kvh_loc = cfg.attn.kv_heads // ms
+    lcfg = dataclasses.replace(
+        cfg.attn, d_model=d_loc, n_heads=h_loc, n_kv_heads=kvh_loc
+    )
 
     def row(inp, w, scale, rows):
         # row-parallel partial: owned-K contraction, bias/epilogue deferred
@@ -143,10 +146,12 @@ def _block_body_tp(
     if qkv is None:
         h = rmsnorm(x, d["norm1"], cfg.eps).reshape(bl * t, dm)
         qkv = _qkv_local(
-            d, h, bl, t, h_loc, cfg.attn.head_dim,
+            d, h, bl, t, h_loc, kvh_loc, cfg.attn.head_dim,
             compute_dtype, use_kernel, dm,
         )
-    q, k, v = (a.reshape(bl, t, d_loc) for a in qkv)
+    # merge heads back: _attention_math re-splits via lcfg (q at d_loc,
+    # k/v at the local kv width)
+    q, k, v = (a.reshape(bl, t, -1) for a in qkv)
     att = _attention_math(q, k, v, lcfg, precision=precision)
     part = row(att.reshape(bl * t, d_loc), d["wo"], d["so"], rows=d_loc)
     att_out = jax.lax.psum(part, MODEL_AXIS) + d["bo"]
@@ -182,10 +187,9 @@ def block_forward_tp(
     ms = _model_size(mesh)
     if cfg.attn.n_heads % ms:
         raise ValueError(f"n_heads={cfg.attn.n_heads} % model={ms} != 0")
-    if cfg.attn.kv_heads != cfg.attn.n_heads:
-        raise NotImplementedError(
-            "GQA is not yet supported under tensor parallelism "
-            "(K/V column shards assume d_model-wide projections)"
+    if cfg.attn.kv_heads % ms:
+        raise ValueError(
+            f"n_kv_heads={cfg.attn.kv_heads} % model={ms} != 0"
         )
     arrs, specs = _block_arrs_specs(packed)
 
@@ -219,9 +223,12 @@ def init_block_cache_tp(
     model axis on the *heads* dim — each shard caches only the heads it
     owns, so decode attention stays collective-free."""
     ms = _model_size(mesh)
-    if cfg.attn.n_heads % ms:
-        raise ValueError(f"n_heads={cfg.attn.n_heads} % model={ms} != 0")
-    shape = (batch, max_len, cfg.attn.n_heads, cfg.attn.head_dim)
+    if cfg.attn.n_heads % ms or cfg.attn.kv_heads % ms:
+        raise ValueError(
+            f"n_heads={cfg.attn.n_heads}/n_kv_heads={cfg.attn.kv_heads} "
+            f"must divide model={ms}"
+        )
+    shape = (batch, max_len, cfg.attn.kv_heads, cfg.attn.head_dim)
     sh = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS, None))
     return {
         "k": jax.device_put(jnp.zeros(shape, dtype), sh),
@@ -237,18 +244,23 @@ _CACHE_SPECS = {
 }
 
 
-def _qkv_local(d, h2, bl, t, h_loc, hd, compute_dtype, use_kernel, dm):
-    """Shard-local Q/K/V projections, reshaped to (B, T, H_local, hd)."""
+def _qkv_local(
+    d, h2, bl, t, h_loc, kvh_loc, hd, compute_dtype, use_kernel, dm
+):
+    """Shard-local Q/K/V projections: Q → (B, T, H_local, hd), K/V →
+    (B, T, KVH_local, hd). Under GQA each shard's query heads group over
+    exactly its own KV heads (head j reads kv j//G, and contiguous
+    head-range shards preserve that mapping), so attention stays local."""
 
-    def col(w, bias, scale):
+    def col(w, bias, scale, heads):
         return _local_spmm(
             h2 * scale, w, bias, None, compute_dtype, use_kernel, dm
-        ).reshape(bl, t, h_loc, hd)
+        ).reshape(bl, t, heads, hd)
 
     return (
-        col(d["wq"], d["bq"], d["sq"]),
-        col(d["wk"], d["bk"], d["sk"]),
-        col(d["wv"], d["bv"], d["sv"]),
+        col(d["wq"], d["bq"], d["sq"], h_loc),
+        col(d["wk"], d["bk"], d["sk"], kvh_loc),
+        col(d["wv"], d["bv"], d["sv"], kvh_loc),
     )
 
 
@@ -258,11 +270,12 @@ def _block_decode_body_tp(
     """Per-device decode body: local-head cache attention + 2 psums."""
     bl, one, dm = x_t.shape
     h_loc = cfg.attn.n_heads // ms
+    kvh_loc = cfg.attn.kv_heads // ms
     hd = cfg.attn.head_dim
 
     h = rmsnorm(x_t, d["norm1"], cfg.eps).reshape(bl, dm)
     q, k, v = _qkv_local(
-        d, h, bl, one, h_loc, hd, compute_dtype, use_kernel, dm
+        d, h, bl, one, h_loc, kvh_loc, hd, compute_dtype, use_kernel, dm
     )
     kc = jax.lax.dynamic_update_slice(
         kc, k.astype(kc.dtype), (0, pos, 0, 0)
@@ -306,9 +319,9 @@ def block_decode_step_tp(
     ``model``; the KV cache stays head-sharded throughout (no cache
     collectives — only the block's two output psums)."""
     ms = _model_size(mesh)
-    if cfg.attn.kv_heads != cfg.attn.n_heads:
-        raise NotImplementedError(
-            "GQA is not yet supported under tensor parallelism"
+    if cfg.attn.kv_heads % ms:
+        raise ValueError(
+            f"n_kv_heads={cfg.attn.kv_heads} % model={ms} != 0"
         )
     arrs, specs = _block_arrs_specs(packed)
 
@@ -348,19 +361,20 @@ def block_prefill_tp(
 ) -> tuple[jax.Array, dict]:
     """TP prompt pass: full block forward + head-sharded cache fill."""
     ms = _model_size(mesh)
-    if cfg.attn.kv_heads != cfg.attn.n_heads:
-        raise NotImplementedError(
-            "GQA is not yet supported under tensor parallelism"
+    if cfg.attn.kv_heads % ms:
+        raise ValueError(
+            f"n_kv_heads={cfg.attn.kv_heads} % model={ms} != 0"
         )
     arrs, specs = _block_arrs_specs(packed)
 
     def body(d, x_l, kc, vc, pos):
         bl, t, dm = x_l.shape
         h_loc = cfg.attn.n_heads // ms
+        kvh_loc = cfg.attn.kv_heads // ms
         hd = cfg.attn.head_dim
         h = rmsnorm(x_l, d["norm1"], cfg.eps).reshape(bl * t, dm)
         q, k, v = _qkv_local(
-            d, h, bl, t, h_loc, hd, compute_dtype, use_kernel, dm
+            d, h, bl, t, h_loc, kvh_loc, hd, compute_dtype, use_kernel, dm
         )
         kc = jax.lax.dynamic_update_slice(
             kc, k.astype(kc.dtype), (0, pos, 0, 0)

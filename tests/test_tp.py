@@ -115,6 +115,45 @@ def test_lm_tp_matches_single():
     _assert_scaled(y, ref, "lm tp")
 
 
+def test_block_tp_gqa_matches_single():
+    # GQA under TP: each shard's query heads group over exactly its own
+    # KV heads; kv_dim=4*256=1024 keeps the column shards 128-aligned
+    import dataclasses as dc
+
+    cfg = dc.replace(CFG, n_kv_heads=2)
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    params = init_block(jax.random.PRNGKey(91), cfg)
+    packed = pack_block(params)
+    x = rng.rand_dense(jax.random.PRNGKey(92), (2, 4, cfg.d_model)) * 0.1
+    ref = np.asarray(block_forward(packed, x, cfg, use_kernel=False))
+    sharded = shard_block_tp(packed, mesh)
+    y = block_forward_tp(sharded, x, cfg, mesh=mesh, use_kernel=False)
+    _assert_scaled(y, ref, "block tp gqa")
+
+
+def test_block_decode_tp_gqa_matches_forward():
+    import dataclasses as dc
+
+    cfg = dc.replace(CFG, n_kv_heads=2)
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    params = init_block(jax.random.PRNGKey(93), cfg)
+    packed = pack_block(params)
+    x = rng.rand_dense(jax.random.PRNGKey(94), (2, 5, cfg.d_model)) * 0.1
+    sharded = shard_block_tp(packed, mesh)
+    full = np.asarray(
+        block_forward_tp(sharded, x, cfg, mesh=mesh, use_kernel=False)
+    )
+    cache = init_block_cache_tp(cfg, batch=2, max_len=8, mesh=mesh)
+    assert cache["k"].shape == (2, 8, 2, 256)  # kv heads only
+    _, cache = block_prefill_tp(
+        sharded, x[:, :-1], cache, cfg, mesh=mesh, use_kernel=False
+    )
+    y_t, _ = block_decode_step_tp(
+        sharded, x[:, -1:], cache, cfg, mesh=mesh, use_kernel=False
+    )
+    _assert_scaled(y_t[:, 0], full[:, -1], "tp gqa decode")
+
+
 def test_block_decode_tp_matches_forward():
     # TP prefill T-1 tokens then one TP decode step == TP full forward's
     # last position (head-sharded cache correctness)
