@@ -37,14 +37,20 @@ _NEG = -1e30  # finite mask value: exp(_NEG - m) underflows to 0 cleanly
 def _ring_body(q, k, v, s, causal, precision):
     """Per-device online-softmax ring: q fixed, (k, v) rotate s times.
 
-    q: (B, Tq, H, hd) local chunk; k/v: same-shaped local chunks.
+    q: (B, Tq, H, hd) local chunk; k/v: (B, Tk, KVH, hd) local chunks —
+    KVH < H is grouped-query attention: the query heads group over the KV
+    heads in the score/output einsums (never materialized at H), and the
+    rotating chunks are KVH/H-times smaller over ICI.
     Returns (B, Tq, H, hd).
     """
     b, tq, h, hd = q.shape
+    kvh = k.shape[2]
+    g = h // kvh
     me = jax.lax.axis_index(MODEL_AXIS)
     scale = 1.0 / jnp.sqrt(jnp.float32(hd))
     perm = [(i, (i + 1) % s) for i in range(s)]
 
+    qg = q.reshape(b, tq, kvh, g, hd)  # (B, Tq, KVH, G, hd)
     q_pos = me * tq + jnp.arange(tq)  # global positions of my queries
 
     def accum(kc, vc, m, l, acc, i):
@@ -52,21 +58,21 @@ def _ring_body(q, k, v, s, causal, precision):
         src = (me - i) % s  # ring owner of the chunk we currently hold
         scores = (
             jnp.einsum(
-                "bqhd,bkhd->bhqk", q, kc,
+                "bqkgd,btkd->bkgqt", qg, kc,
                 preferred_element_type=jnp.float32, precision=precision,
             )
             * scale
-        )
+        )  # (B, KVH, G, Tq, Tk)
         if causal:
-            k_pos = src * tq + jnp.arange(tq)
+            k_pos = src * tq + jnp.arange(kc.shape[1])
             live = q_pos[:, None] >= k_pos[None, :]  # (Tq, Tk)
-            scores = jnp.where(live[None, None], scores, _NEG)
-        m_new = jnp.maximum(m, scores.max(axis=-1))  # (B, H, Tq)
+            scores = jnp.where(live[None, None, None], scores, _NEG)
+        m_new = jnp.maximum(m, scores.max(axis=-1))  # (B, KVH, G, Tq)
         alpha = jnp.exp(m - m_new)  # rescale of the old accumulator
-        p = jnp.exp(scores - m_new[..., None])  # (B, H, Tq, Tk)
+        p = jnp.exp(scores - m_new[..., None])
         l = l * alpha + p.sum(axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
-            "bhqk,bkhd->bhqd", p, vc.astype(jnp.float32),
+            "bkgqt,btkd->bkgqd", p, vc.astype(jnp.float32),
             precision=precision,
         )
         return m_new, l, acc
@@ -77,17 +83,19 @@ def _ring_body(q, k, v, s, causal, precision):
         kc, vc = jax.lax.ppermute((kc, vc), MODEL_AXIS, perm)
         return (kc, vc, m, l, acc), None
 
-    m0 = jnp.full((b, h, tq), _NEG, jnp.float32)
-    l0 = jnp.zeros((b, h, tq), jnp.float32)
-    a0 = jnp.zeros((b, h, tq, hd), jnp.float32)
+    m0 = jnp.full((b, kvh, g, tq), _NEG, jnp.float32)
+    l0 = jnp.zeros((b, kvh, g, tq), jnp.float32)
+    a0 = jnp.zeros((b, kvh, g, tq, hd), jnp.float32)
     # s-1 rotated steps, then the last held chunk folds in without the
     # wasted final rotation (S-1 collectives total, as documented)
     (kc, vc, m, l, acc), _ = jax.lax.scan(
         step, (k, v, m0, l0, a0), jnp.arange(s - 1)
     )
     m, l, acc = accum(kc, vc, m, l, acc, s - 1)
-    out = acc / jnp.maximum(l, 1e-30)[..., None]  # (B, H, Tq, hd)
-    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+    out = acc / jnp.maximum(l, 1e-30)[..., None]  # (B, KVH, G, Tq, hd)
+    return (
+        out.transpose(0, 3, 1, 2, 4).reshape(b, tq, h, hd).astype(q.dtype)
+    )
 
 
 @functools.partial(
@@ -143,10 +151,6 @@ def attention_forward_sp(
     b, t, d = x.shape
     s = mesh.shape[MODEL_AXIS]
     hd = cfg.head_dim
-    if cfg.kv_heads != cfg.n_heads:
-        raise NotImplementedError(
-            "GQA is not yet supported in the sequence-parallel layer"
-        )
 
     names = ("wq", "wk", "wv", "wo")
     arrs = {n: packed[n].data for n in names}
@@ -170,8 +174,8 @@ def attention_forward_sp(
             )
 
         q = proj("wq", x_l).reshape(bl, tl, cfg.n_heads, hd)
-        k = proj("wk", x_l).reshape(bl, tl, cfg.n_heads, hd)
-        v = proj("wv", x_l).reshape(bl, tl, cfg.n_heads, hd)
+        k = proj("wk", x_l).reshape(bl, tl, cfg.kv_heads, hd)
+        v = proj("wv", x_l).reshape(bl, tl, cfg.kv_heads, hd)
         att = _ring_body(q, k, v, s, cfg.causal, precision)
         y = proj("wo", att.reshape(bl, tl, dm))
         return y.reshape(bl, tl, dm)

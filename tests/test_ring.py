@@ -63,6 +63,44 @@ def test_ring_single_ring_degenerate():
     )
 
 
+@pytest.mark.parametrize("causal", [True, False])
+def test_ring_gqa_matches_full(causal):
+    # grouped KV heads: the rotating chunks carry only KVH heads
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    b, t, h, kvh, hd = 2, 16, 8, 2, 16
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(17), 3)
+    q = rng.rand_dense(kq, (b, t, h, hd)) * 0.5
+    k = rng.rand_dense(kk, (b, t, kvh, hd)) * 0.5
+    v = rng.rand_dense(kv, (b, t, kvh, hd)) * 0.5
+    cfg = TernaryAttentionConfig(
+        d_model=h * hd, n_heads=h, causal=causal, n_kv_heads=kvh
+    )
+    ref = _attention_math(
+        q.reshape(b, t, -1), k.reshape(b, t, -1), v.reshape(b, t, -1),
+        cfg, precision=HI,
+    )
+    y = ring_attention(q, k, v, mesh=mesh, causal=causal, precision=HI)
+    np.testing.assert_allclose(
+        np.asarray(y).reshape(b, t, -1), np.asarray(ref), atol=2e-5, rtol=0
+    )
+
+
+def test_attention_forward_sp_gqa_matches_single():
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    cfg = TernaryAttentionConfig(d_model=256, n_heads=4, n_kv_heads=2)
+    params = init_attention(jax.random.PRNGKey(31), cfg)
+    packed = pack_attention(params)
+    x = rng.rand_dense(jax.random.PRNGKey(32), (2, 8, cfg.d_model)) * 0.5
+    ref = attention_forward(packed, x, cfg, use_kernel=False, precision=HI)
+    y = attention_forward_sp(
+        packed, x, cfg, mesh=mesh, use_kernel=False, precision=HI
+    )
+    tol = max(2e-4, 2e-5 * float(np.abs(np.asarray(ref)).max()))
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref), atol=tol, rtol=0
+    )
+
+
 @pytest.mark.parametrize("use_kernel", [False, True])
 def test_attention_forward_sp_matches_single(use_kernel):
     mesh = make_mesh(2, 2, devices=jax.devices()[:4])
