@@ -1,0 +1,68 @@
+"""On-chip verification of the flash-attention kernel (verify-skill drive).
+
+Parity vs a float64 numpy oracle (never an XLA matmul) for causal GQA at a
+multi-tile T, then a quick timing point. Run:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python scripts/verify_flash.py
+"""
+
+import time
+
+T0 = time.time()
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+import numpy as np
+
+from smmb_tpu.bench.measure import measure_device
+from smmb_tpu.kernels.flash_attention import flash_attention
+
+
+def t(m):
+    print("[%6.1fs] %s" % (time.time() - T0, m), flush=True)
+
+
+t(f"devices: {jax.devices()}")
+
+B, H, KVH, T, HD = 1, 8, 2, 1024, 128
+kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+q = jax.random.normal(kq, (B, H, T, HD), jnp.float32)
+k = jax.random.normal(kk, (B, KVH, T, HD), jnp.float32)
+v = jax.random.normal(kv, (B, KVH, T, HD), jnp.float32)
+
+t("compiling flash (f32, causal GQA)...")
+y = np.asarray(flash_attention(q, k, v, causal=True))
+t("compiled; computing f64 oracle on host...")
+
+qn = np.asarray(q, np.float64)
+kn = np.asarray(k, np.float64)
+vn = np.asarray(v, np.float64)
+g = H // KVH
+scale = 1.0 / np.sqrt(HD)
+want = np.empty_like(qn)
+mask = np.tril(np.ones((T, T), bool))
+for h in range(H):
+    s = (qn[:, h] @ kn[:, h // g].transpose(0, 2, 1)) * scale
+    s = np.where(mask, s, -np.inf)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(-1, keepdims=True)
+    want[:, h] = p @ vn[:, h // g]
+
+err = np.abs(y - want).max()
+t(f"parity vs f64 oracle: err={err:.2e} " + ("PASS" if err < 1e-5 else "FAIL"))
+
+t("bf16 timing point (B1 H8/KV2 T1024)...")
+qb, kb, vb = (a.astype(jnp.bfloat16) for a in (q, k, v))
+m = measure_device(
+    lambda a, b_, c: flash_attention(a, b_, c, causal=True), qb, kb, vb,
+    iters=512,
+)
+t(f"flash bf16: {m.min_s * 1e6:.1f} us")
+t("DONE")

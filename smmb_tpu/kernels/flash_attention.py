@@ -1,0 +1,258 @@
+"""Pallas TPU kernel: tiled online-softmax (flash) attention with GQA.
+
+Net-new vs the reference (its workload is MLP-only, SURVEY.md §5); this is
+the serving-side companion to the packed SpMM kernel. The jnp attention math
+(models/attention.py:_attention_math) materializes the full (B, H, T, T)
+score tensor in HBM — O(T²) memory and two full HBM round-trips of scores at
+long context. This kernel streams KV tiles through VMEM and carries the
+softmax online (running max ``m``, running denominator ``l``, unnormalized
+accumulator ``acc``), so scores never leave VMEM and HBM traffic drops to
+Q + KV + O.
+
+TPU-first design notes:
+
+* Grid is ``(B·H, q_tiles, kv_tiles)`` with the KV axis innermost
+  ("arbitrary"); the (m, l, acc) carry lives in VMEM scratch and the output
+  tile is written once on the last KV step.
+* Grouped-query attention costs nothing extra: the K/V BlockSpec index maps
+  divide the head-grid index by the group factor (``bh // G``), so query
+  heads of one group re-use the same KV tile DMA — the cache is never
+  materialized at the query head count (the measured-on-chip rule from
+  models/attention.py).
+* Causal masking clamps the KV-tile index map at the diagonal:
+  fully-masked tiles map to the previously fetched block (Pallas skips the
+  DMA for an unchanged index) and ``pl.when`` skips their compute, so the
+  causal triangle costs ~half the work, not just half the FLOPs.
+* Masked lanes use a large-negative finite (-1e30), not -inf: -inf - -inf
+  = NaN would poison the running-max rescale on fully masked rows (the
+  padded tail of a non-multiple T).
+* f32 inputs run the score dot at HIGHEST precision (same rationale as
+  packed_spmm: the MXU otherwise demotes f32 to single-pass bf16); the
+  probability·V dot always runs in V's dtype with f32 accumulation, exactly
+  like the jnp path's ``probs.astype(v.dtype)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smmb_tpu.kernels._compat import use_interpret
+from smmb_tpu.utils.shapes import round_up
+
+_NEG = -1e30  # finite "masked" score: exp(_NEG - m) underflows to 0
+
+
+def _flash_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    m_ref,
+    l_ref,
+    acc_ref,
+    *,
+    ns: int,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+    s_len: int,
+    precision,
+):
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body():
+        q = q_ref[0]
+        k = k_ref[0]
+        # scores: (BQ, BS) = q @ k^T, f32 accumulation on the MXU
+        scores = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * scale
+        col = s * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 1
+        )
+        live = col < s_len
+        if causal:
+            row = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            live = jnp.logical_and(live, row >= col)
+        scores = jnp.where(live, scores, _NEG)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        rescale = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = l_ref[:, :1] * rescale + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0]
+        acc_ref[:] = acc_ref[:] * rescale + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    if causal:
+        # tiles entirely above the diagonal: index map re-used the previous
+        # block (no DMA), pl.when skips the compute
+        @pl.when(s * block_kv <= i * block_q + block_q - 1)
+        def _():
+            body()
+
+    else:
+        body()
+
+    @pl.when(s == ns - 1)
+    def _():
+        l = l_ref[:, :1]
+        # l == 0 only on fully masked rows (the padded T tail) — emit 0,
+        # the wrapper slices those rows away
+        o_ref[0] = jnp.where(
+            l > 0, acc_ref[:] / jnp.where(l > 0, l, 1.0), 0.0
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal",
+        "scale",
+        "block_q",
+        "block_kv",
+        "interpret",
+    ),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = True,
+    scale: float | None = None,
+    block_q: int | None = None,
+    block_kv: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Scaled dot-product attention without materializing T×S scores.
+
+    Args:
+      q: (B, H, T, hd) queries. Head ``h`` attends KV head ``h // (H//KVH)``
+        (contiguous grouping, matching models/attention._attention_math).
+      k, v: (B, KVH, S, hd) keys/values; ``H % KVH == 0`` (KVH < H is
+        grouped-query attention).
+      causal: mask position t from attending beyond t (query row i attends
+        kv cols ≤ i — prefill semantics, q and kv aligned at position 0).
+      scale: score multiplier; default 1/sqrt(hd).
+      block_q / block_kv: VMEM tile sizes along T and S.
+    Returns:
+      (B, H, T, hd) in q's dtype.
+    """
+    b, h, t, hd = q.shape
+    bk, kvh, s_len, hdk = k.shape
+    if (bk, hdk) != (b, hd) or v.shape != k.shape:
+        raise ValueError(f"q {q.shape} vs k {k.shape} vs v {v.shape}")
+    if h % kvh:
+        raise ValueError(f"H {h} % KVH {kvh} != 0")
+    g = h // kvh
+    if scale is None:
+        scale = 1.0 / hd ** 0.5
+
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    bq = block_q if block_q is not None else min(256, round_up(t, sub))
+    bs = block_kv if block_kv is not None else min(512, round_up(s_len, 128))
+    tp = round_up(t, bq)
+    sp = round_up(s_len, bs)
+    hp = round_up(hd, 128)
+
+    qf = q.reshape(b * h, t, hd)
+    kf = k.reshape(b * kvh, s_len, hd)
+    vf = v.reshape(b * kvh, s_len, hd)
+    if (tp, hp) != (t, hd):
+        qf = jnp.pad(qf, ((0, 0), (0, tp - t), (0, hp - hd)))
+    if (sp, hp) != (s_len, hd):
+        kf = jnp.pad(kf, ((0, 0), (0, sp - s_len), (0, hp - hd)))
+        vf = jnp.pad(vf, ((0, 0), (0, sp - s_len), (0, hp - hd)))
+
+    nq, ns = tp // bq, sp // bs
+
+    if causal:
+        # past the diagonal, re-use the last live block index → no DMA
+        def kv_index(bh, i, si):
+            return (bh // g, jnp.minimum(si, (i * bq + bq - 1) // bs), 0)
+
+    else:
+
+        def kv_index(bh, i, si):
+            return (bh // g, si, 0)
+
+    kv_spec = pl.BlockSpec((1, bs, hp), kv_index, memory_space=pltpu.VMEM)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel,
+            ns=ns,
+            scale=scale,
+            causal=causal,
+            block_q=bq,
+            block_kv=bs,
+            s_len=s_len,
+            precision=precision,
+        ),
+        grid=(b * h, nq, ns),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bq, hp),
+                lambda bh, i, si: (bh, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            kv_spec,
+            kv_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, hp),
+            lambda bh, i, si: (bh, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, tp, hp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, hp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 if causal else 4) * b * h * tp * sp * hp,
+            bytes_accessed=(
+                b * h * tp * hp * q.dtype.itemsize
+                + 2 * b * kvh * sp * hp * k.dtype.itemsize
+                + b * h * tp * hp * q.dtype.itemsize
+            ),
+            transcendentals=b * h * tp * sp // (2 if causal else 1),
+        ),
+        interpret=use_interpret(interpret),
+    )(qf, kf, vf)
+    if (tp, hp) != (t, hd):
+        out = out[:, :t, :hd]
+    return out.reshape(b, h, t, hd)

@@ -94,13 +94,21 @@ def pack_attention(params: dict, quantize: bool = False) -> dict:
     return out
 
 
-def _attention_math(q, k, v, cfg: TernaryAttentionConfig, precision=None):
+def _attention_math(
+    q, k, v, cfg: TernaryAttentionConfig, precision=None, use_flash=False
+):
     """(B, T, D) projections → multi-head scaled dot-product attention.
 
     Under GQA the query heads are grouped over the (fewer) KV heads with
     grouped einsums — the KV tensors are NEVER materialized at the query
     head count (a broadcast repeat costs a full cache-sized write+read per
     call, more than GQA's read saving; measured on-chip).
+
+    ``use_flash=True`` routes through the Pallas online-softmax kernel
+    (kernels/flash_attention.py): identical math, but the (T, T) score
+    tensor never touches HBM — the right cost model at long context. The
+    jnp einsum path stays the default (and the parity oracle): at short T
+    the score tensor fits cache-side and XLA's fusion is already optimal.
 
     ``precision=None`` keeps the TPU default (single-pass-bf16 MXU inputs,
     f32 accumulation) — the serving configuration. Pass
@@ -112,6 +120,15 @@ def _attention_math(q, k, v, cfg: TernaryAttentionConfig, precision=None):
     h, hd = cfg.n_heads, cfg.head_dim
     kvh = cfg.kv_heads
     g = h // kvh
+
+    if use_flash:
+        from smmb_tpu.kernels.flash_attention import flash_attention
+
+        qh = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+        out = flash_attention(qh, kh, vh, causal=cfg.causal)
+        return out.transpose(0, 2, 1, 3).reshape(b, t, d)
 
     # q: (B, KVH, G, T, hd); k/v: (B, KVH, T, hd)
     q = q.reshape(b, t, kvh, g, hd).transpose(0, 2, 3, 1, 4)
@@ -138,10 +155,13 @@ def attention_forward(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Serving forward: packed projections around dense attention math.
 
     x: (B, T, d_model). All four projections stream 2-bit planes.
+    ``use_flash`` swaps the einsum attention math for the Pallas
+    online-softmax kernel (no T×T score tensor in HBM; long-context T).
     """
 
     def proj(name, inp):
@@ -150,7 +170,7 @@ def attention_forward(
     q = proj("wq", x)
     k = proj("wk", x)
     v = proj("wv", x)
-    att = _attention_math(q, k, v, cfg, precision=precision)
+    att = _attention_math(q, k, v, cfg, precision=precision, use_flash=use_flash)
     return proj("wo", att)
 
 
@@ -195,6 +215,7 @@ def attention_prefill(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Process a whole prompt (B, T, D): full causal attention (identical to
     ``attention_forward``) plus cache fill. Returns (y, cache)."""
@@ -211,7 +232,9 @@ def attention_prefill(
         ),
         "pos": cache["pos"] + t,
     }
-    y = attention_forward(packed, x, cfg, precision=precision, **kw)
+    y = attention_forward(
+        packed, x, cfg, precision=precision, use_flash=use_flash, **kw
+    )
     return y, cache
 
 

@@ -126,12 +126,14 @@ def lm_forward(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Full causal forward: (B, T) int tokens → (B, T, vocab) logits.
 
     ``precision`` reaches the attention einsums (pass HIGHEST for
     decode-vs-full parity; the TPU default rounds the full and incremental
-    paths differently at bf16 noise level).
+    paths differently at bf16 noise level). ``use_flash`` runs attention
+    through the Pallas online-softmax kernel (long-context prompts).
     """
     b, t = tokens.shape
     x = packed["embed"][tokens] + packed["pos"][None, :t]
@@ -139,7 +141,7 @@ def lm_forward(
         x = block_forward(
             blk, x, cfg.block,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
-            precision=precision,
+            precision=precision, use_flash=use_flash,
         )
     h = rmsnorm(x, packed["norm_f"], cfg.eps)
     return _head_logits(packed, h, cfg, compute_dtype, use_kernel)
@@ -161,6 +163,7 @@ def lm_prefill(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ):
     """Prompt pass: returns (last-position logits (B, vocab), filled cache)."""
     b, t = tokens.shape
@@ -170,7 +173,7 @@ def lm_prefill(
         x, c = block_prefill(
             blk, x, c, cfg.block,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
-            precision=precision,
+            precision=precision, use_flash=use_flash,
         )
         new_cache.append(c)
     h = rmsnorm(x, packed["norm_f"], cfg.eps)
@@ -228,12 +231,25 @@ def qat_lm_forward(
     return jnp.dot(h, wq, preferred_element_type=jnp.float32)
 
 
-def make_lm_train_step(cfg: TernaryLMConfig, learning_rate: float = 1e-3):
+def make_lm_train_step(
+    cfg: TernaryLMConfig,
+    learning_rate: float = 1e-3,
+    accum_steps: int = 1,
+):
     """(init_opt, train_step) for next-token cross-entropy on the ternary LM.
 
     ``train_step(params, opt_state, tokens) -> (params, opt_state, loss)``
     is pure and jittable; shard ``tokens`` over a data axis for DP training
-    (the optimizer update is elementwise, so XLA keeps it sharded).
+    (parallel/dp_train.py compiles exactly this step with mesh shardings).
+
+    ``accum_steps > 1`` splits the batch into that many microbatches and
+    accumulates their mean gradients in a ``lax.scan`` before the single
+    optimizer update — identical math to the full-batch step (each
+    microbatch is the same size, so the mean of means is the batch mean)
+    at 1/``accum_steps`` of the activation memory. The scan keeps one set
+    of forward/backward buffers live at a time; XLA cannot do this
+    transform itself (the optimizer update is sequenced after all
+    microbatches).
     """
     import optax
 
@@ -248,8 +264,31 @@ def make_lm_train_step(cfg: TernaryLMConfig, learning_rate: float = 1e-3):
     def init_opt(params):
         return tx.init(params)
 
+    def batch_grad(params, tokens):
+        if accum_steps == 1:
+            return jax.value_and_grad(loss_fn)(params, tokens)
+        b = tokens.shape[0]
+        if b % accum_steps:
+            raise ValueError(
+                f"batch {b} not divisible by accum_steps {accum_steps}"
+            )
+        micro = tokens.reshape(accum_steps, b // accum_steps, -1)
+
+        def body(carry, mb):
+            loss_acc, grad_acc = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, mb)
+            return (
+                loss_acc + loss,
+                jax.tree.map(jnp.add, grad_acc, grads),
+            ), None
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        (loss_sum, grad_sum), _ = jax.lax.scan(body, (0.0, zeros), micro)
+        inv = 1.0 / accum_steps
+        return loss_sum * inv, jax.tree.map(lambda g: g * inv, grad_sum)
+
     def train_step(params, opt_state, tokens):
-        loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
+        loss, grads = batch_grad(params, tokens)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -280,7 +319,8 @@ def _make_sampler(temperature: float, top_k: int | None):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "steps", "compute_dtype", "use_kernel", "temperature", "top_k"
+        "cfg", "steps", "compute_dtype", "use_kernel", "temperature",
+        "top_k", "use_flash",
     ),
 )
 def generate(
@@ -294,13 +334,15 @@ def generate(
     temperature: float = 0.0,
     top_k: int | None = None,
     key: jax.Array | None = None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Generation: (B, T) prompt → (B, steps) continuation tokens.
 
     Greedy by default; ``temperature > 0`` switches to softmax sampling
     (optionally top-k truncated) driven by ``key``. One jitted program:
     prefill then a ``lax.scan`` of decode steps — static shapes throughout
-    (cache preallocated at ``cfg.max_len``).
+    (cache preallocated at ``cfg.max_len``). ``use_flash`` applies to the
+    prefill only (decode steps read the cache; they have no T×T scores).
     """
     if prompt.shape[1] + steps > cfg.max_len:
         # dynamic_update_slice clamps out-of-range writes, which would
@@ -318,7 +360,9 @@ def generate(
     # the cache follows the serving dtype: a bf16 cache halves the decode's
     # cache read traffic, which dominates at batch x long-context
     cache = lm_init_cache(cfg, prompt.shape[0], dtype=compute_dtype)
-    logits, cache = lm_prefill(packed, prompt, cache, cfg, **kw)
+    logits, cache = lm_prefill(
+        packed, prompt, cache, cfg, use_flash=use_flash, **kw
+    )
     key, k0 = jax.random.split(key)
     tok0 = sampler(k0, logits)
 

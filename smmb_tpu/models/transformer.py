@@ -108,18 +108,20 @@ def block_forward(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Pre-norm transformer block: x + attn(norm(x)), then x + mlp(norm(x)).
 
     ``precision`` reaches the attention einsums only (the packed SpMM
     decode-and-dot is exact by construction); pass HIGHEST for
-    decode-vs-full parity checks.
+    decode-vs-full parity checks. ``use_flash`` selects the Pallas
+    online-softmax attention kernel (long-context prefill).
     """
     h = rmsnorm(x, packed["norm1"], cfg.eps)
     x = x + attention_forward(
         packed["attn"], h, cfg.attn,
         compute_dtype=compute_dtype, use_kernel=use_kernel,
-        precision=precision,
+        precision=precision, use_flash=use_flash,
     )
     return _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel))
 
@@ -180,10 +182,12 @@ def block_prefill(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Prompt pass: full block forward + KV-cache fill. Returns (y, cache)."""
     kw = dict(
-        compute_dtype=compute_dtype, use_kernel=use_kernel, precision=precision
+        compute_dtype=compute_dtype, use_kernel=use_kernel,
+        precision=precision, use_flash=use_flash,
     )
     h = rmsnorm(x, packed["norm1"], cfg.eps)
     att, cache = attention_prefill(packed["attn"], h, cache, cfg.attn, **kw)

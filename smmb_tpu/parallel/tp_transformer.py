@@ -121,6 +121,7 @@ def _block_body_tp(
     use_kernel: bool,
     precision,
     qkv=None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Per-device block body (runs inside shard_map): local heads + 2 psums.
 
@@ -152,7 +153,7 @@ def _block_body_tp(
     # merge heads back: _attention_math re-splits via lcfg (q at d_loc,
     # k/v at the local kv width)
     q, k, v = (a.reshape(bl, t, -1) for a in qkv)
-    att = _attention_math(q, k, v, lcfg, precision=precision)
+    att = _attention_math(q, k, v, lcfg, precision=precision, use_flash=use_flash)
     part = row(att.reshape(bl * t, d_loc), d["wo"], d["so"], rows=d_loc)
     att_out = jax.lax.psum(part, MODEL_AXIS) + d["bo"]
     x = x + att_out.reshape(bl, t, dm)
@@ -169,7 +170,9 @@ def _block_body_tp(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "compute_dtype", "use_kernel", "precision"),
+    static_argnames=(
+        "cfg", "mesh", "compute_dtype", "use_kernel", "precision", "use_flash"
+    ),
 )
 def block_forward_tp(
     packed: dict,
@@ -180,6 +183,7 @@ def block_forward_tp(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Tensor-parallel block forward: x (B, T, d_model) batch-sharded over
     ``data``, replicated over ``model``; returns y with the same placement.
@@ -195,7 +199,8 @@ def block_forward_tp(
 
     def body(d, x_l):
         return _block_body_tp(
-            d, x_l, cfg, ms, compute_dtype, use_kernel, precision
+            d, x_l, cfg, ms, compute_dtype, use_kernel, precision,
+            use_flash=use_flash,
         )
 
     return jax.shard_map(
@@ -358,6 +363,7 @@ def block_prefill_tp(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> tuple[jax.Array, dict]:
     """TP prompt pass: full block forward + head-sharded cache fill."""
     ms = _model_size(mesh)
@@ -385,7 +391,7 @@ def block_prefill_tp(
         # reuse the cache-fill projections for the forward itself
         y = _block_body_tp(
             d, x_l, cfg, ms, compute_dtype, use_kernel, precision,
-            qkv=(q, k, v),
+            qkv=(q, k, v), use_flash=use_flash,
         )
         return y, kc, vc
 
@@ -429,7 +435,9 @@ def shard_lm_tp(packed: dict, mesh: Mesh) -> dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "compute_dtype", "use_kernel", "precision"),
+    static_argnames=(
+        "cfg", "mesh", "compute_dtype", "use_kernel", "precision", "use_flash"
+    ),
 )
 def lm_forward_tp(
     packed: dict,
@@ -440,6 +448,7 @@ def lm_forward_tp(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Tensor-parallel LM forward: (B, T) tokens batch-sharded over ``data``
     → (B, T, vocab) logits, vocab gathered back to replicated.
@@ -454,7 +463,7 @@ def lm_forward_tp(
         x = block_forward_tp(
             blk, x, cfg.block, mesh=mesh,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
-            precision=precision,
+            precision=precision, use_flash=use_flash,
         )
     h = rmsnorm(x, packed["norm_f"], cfg.eps)
     return _head_logits_tp(
@@ -495,7 +504,9 @@ def lm_init_cache_tp(cfg, batch: int, mesh: Mesh, dtype=jnp.float32) -> list:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "mesh", "compute_dtype", "use_kernel", "precision"),
+    static_argnames=(
+        "cfg", "mesh", "compute_dtype", "use_kernel", "precision", "use_flash"
+    ),
 )
 def lm_prefill_tp(
     packed: dict,
@@ -507,6 +518,7 @@ def lm_prefill_tp(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ):
     """TP prompt pass: (last-position logits (B, vocab), filled TP cache)."""
     b, t = tokens.shape
@@ -516,7 +528,7 @@ def lm_prefill_tp(
         x, c = block_prefill_tp(
             blk, x, c, cfg.block, mesh=mesh,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
-            precision=precision,
+            precision=precision, use_flash=use_flash,
         )
         new_cache.append(c)
     h = rmsnorm(x, packed["norm_f"], cfg.eps)
@@ -558,7 +570,8 @@ def lm_decode_step_tp(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "steps", "mesh", "compute_dtype", "use_kernel", "precision"
+        "cfg", "steps", "mesh", "compute_dtype", "use_kernel", "precision",
+        "use_flash",
     ),
 )
 def generate_tp(
@@ -571,10 +584,12 @@ def generate_tp(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """TP greedy generation: one jitted prefill + ``lax.scan`` of TP decode
     steps, KV caches head-sharded throughout (models/lm.generate over the
-    mesh)."""
+    mesh). ``use_flash`` applies to the prefill only (decode reads the
+    cache; it has no T×T scores)."""
     if prompt.shape[1] + steps > cfg.max_len:
         # cache writes clamp at max_len and would silently corrupt
         raise ValueError(
@@ -587,7 +602,9 @@ def generate_tp(
     )
     # cache follows the serving dtype (halves decode cache traffic in bf16)
     cache = lm_init_cache_tp(cfg, prompt.shape[0], mesh, dtype=compute_dtype)
-    logits, cache = lm_prefill_tp(packed, prompt, cache, cfg, mesh=mesh, **kw)
+    logits, cache = lm_prefill_tp(
+        packed, prompt, cache, cfg, mesh=mesh, use_flash=use_flash, **kw
+    )
     tok0 = jnp.argmax(logits, axis=-1)
 
     def step(carry, _):

@@ -203,3 +203,34 @@ def test_generate_tp_matches_single():
         generate_tp(sharded, toks, LM_CFG, 4, mesh=mesh, use_kernel=False)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_block_tp_flash_matches_single():
+    """use_flash under TP: shard-local flash attention (heads split over
+    model) equals the single-device einsum forward."""
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    packed, x = _setup_block(17)
+    ref = np.asarray(block_forward(packed, x, CFG, use_kernel=False))
+    sharded = shard_block_tp(packed, mesh)
+    y = block_forward_tp(
+        sharded, x, CFG, mesh=mesh, use_kernel=False, use_flash=True
+    )
+    _assert_scaled(y, ref, "block tp flash")
+
+
+def test_generate_tp_flash_matches_plain():
+    """generate_tp(use_flash=True) produces identical tokens (flash is
+    prefill-only; greedy decode unchanged)."""
+    cfg = TernaryLMConfig(
+        vocab=256, d_model=1024, n_heads=4, d_ff=1024, n_layers=1, max_len=32
+    )
+    params = init_lm(jax.random.PRNGKey(23), cfg)
+    packed = pack_lm(params)
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    sharded = shard_lm_tp(packed, mesh)
+    toks = jax.random.randint(jax.random.PRNGKey(24), (2, 8), 0, cfg.vocab)
+    g0 = generate_tp(sharded, toks, cfg, 6, mesh=mesh, use_kernel=False)
+    g1 = generate_tp(
+        sharded, toks, cfg, 6, mesh=mesh, use_kernel=False, use_flash=True
+    )
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
