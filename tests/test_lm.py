@@ -165,3 +165,30 @@ def test_generate_sampling():
 
     with pytest.raises(ValueError):
         generate(packed, toks, CFG, 6, temperature=0.5)  # no key
+
+
+def test_lm_train_grad_accumulation_matches_full_batch():
+    """accum_steps microbatching == the full-batch gradient step (same
+    optimizer update: mean of equal-size microbatch means is the batch
+    mean)."""
+    from smmb_tpu.models.lm import make_lm_train_step
+
+    cfg = TernaryLMConfig(
+        vocab=64, d_model=64, n_heads=2, d_ff=128, n_layers=1, max_len=16
+    )
+    params = init_lm(jax.random.PRNGKey(50), cfg)
+    params = jax.tree.map(lambda a: a + 0.01, params)
+    toks = jax.random.randint(jax.random.PRNGKey(51), (8, 8), 0, cfg.vocab)
+
+    init_opt, step1 = make_lm_train_step(cfg, learning_rate=1e-2)
+    _, step4 = make_lm_train_step(cfg, learning_rate=1e-2, accum_steps=4)
+    o1 = init_opt(params)
+    _, _, l1 = jax.jit(step1)(params, o1, toks)
+    _, _, l4 = jax.jit(step4)(params, o1, toks)
+    np.testing.assert_allclose(float(l4), float(l1), rtol=1e-5)
+
+    # ragged microbatching is rejected at trace time
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        jax.jit(step4)(params, o1, toks[:6])
