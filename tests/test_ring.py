@@ -118,3 +118,97 @@ def test_attention_forward_sp_matches_single(use_kernel):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(ref), atol=tol, rtol=0
     )
+
+
+def test_block_forward_sp_matches_single():
+    """Whole-block sequence parallelism: one shard_map per block, only the
+    KV ring communicates; parity vs the single-device block."""
+    from smmb_tpu.models.transformer import (
+        TernaryBlockConfig, block_forward, init_block, pack_block,
+    )
+    from smmb_tpu.parallel.sp_block import block_forward_sp
+
+    cfg = TernaryBlockConfig(d_model=512, n_heads=4, d_ff=512, n_kv_heads=2)
+    params = init_block(jax.random.PRNGKey(60), cfg)
+    packed = pack_block(params)
+    x = rng.rand_dense(jax.random.PRNGKey(61), (2, 32, 512)) * 0.1
+    ref = np.asarray(
+        block_forward(
+            packed, x, cfg, use_kernel=False,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    mesh = make_mesh(2, 4)
+    y = block_forward_sp(
+        packed, x, cfg, mesh=mesh, use_kernel=False,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # 5e-5 relative: the ring's online-softmax folds exp-sums in rotation
+    # order, so attention noise is ~2x the full-row softmax's; magnitudes
+    # are rmsnorm-pinned (~1e3) regardless of input scale
+    tol = max(1e-4, 5e-5 * float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
+
+
+def test_block_forward_sp_rejects_ragged_t():
+    from smmb_tpu.models.transformer import (
+        TernaryBlockConfig, init_block, pack_block,
+    )
+    from smmb_tpu.parallel.sp_block import block_forward_sp
+
+    cfg = TernaryBlockConfig(d_model=512, n_heads=4, d_ff=512)
+    packed = pack_block(init_block(jax.random.PRNGKey(62), cfg))
+    x = rng.rand_dense(jax.random.PRNGKey(63), (1, 30, 512))
+    mesh = make_mesh(1, 8)
+    with pytest.raises(ValueError, match="T=30"):
+        block_forward_sp(packed, x, cfg, mesh=mesh, use_kernel=False)
+
+
+def test_lm_forward_sp_matches_single():
+    """Full SP LM forward (embed → SP blocks → head) vs single-device."""
+    from smmb_tpu.models.lm import TernaryLMConfig, init_lm, lm_forward, pack_lm
+    from smmb_tpu.parallel.sp_block import lm_forward_sp
+
+    cfg = TernaryLMConfig(
+        vocab=128, d_model=512, n_heads=4, d_ff=512, n_layers=2, max_len=64,
+        n_kv_heads=2,
+    )
+    params = init_lm(jax.random.PRNGKey(64), cfg)
+    packed = pack_lm(params)
+    toks = jax.random.randint(jax.random.PRNGKey(65), (2, 32), 0, cfg.vocab)
+    ref = np.asarray(
+        lm_forward(
+            packed, toks, cfg, use_kernel=False,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    mesh = make_mesh(1, 8)
+    y = lm_forward_sp(
+        packed, toks, cfg, mesh=mesh, use_kernel=False,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    tol = max(1e-4, 5e-5 * float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
+
+
+def test_lm_forward_sp_kernel_path():
+    """SP LM with the Pallas kernel path (interpret on CPU)."""
+    from smmb_tpu.models.lm import TernaryLMConfig, init_lm, lm_forward, pack_lm
+    from smmb_tpu.parallel.sp_block import lm_forward_sp
+
+    cfg = TernaryLMConfig(
+        vocab=128, d_model=512, n_heads=4, d_ff=512, n_layers=1, max_len=32
+    )
+    params = init_lm(jax.random.PRNGKey(66), cfg)
+    packed = pack_lm(params)
+    toks = jax.random.randint(jax.random.PRNGKey(67), (1, 16), 0, cfg.vocab)
+    ref = np.asarray(
+        lm_forward(
+            packed, toks, cfg, use_kernel=False,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    mesh = make_mesh(1, 4)
+    y = lm_forward_sp(packed, toks, cfg, mesh=mesh, use_kernel=True)
+    tol = max(1e-3, 1e-4 * float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
