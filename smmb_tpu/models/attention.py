@@ -238,31 +238,39 @@ def attention_prefill(
     return y, cache
 
 
-def _decode_attention_math(q, kc, vc, pos, head_dim, precision=None):
-    """One-token attention over a static-length cache.
+def _chunk_attention_math(q, kc, vc, pos, head_dim, precision=None):
+    """C-token chunk attention over a static-length cache.
 
-    q: (B, 1, H, hd); kc/vc: (B, max_len, KVH, hd) with the new token
-    already written at ``pos`` (KVH < H is grouped-query attention — query
+    q: (B, C, H, hd); kc/vc: (B, max_len, KVH, hd) with the chunk already
+    written at [pos, pos+C) (KVH < H is grouped-query attention — query
     heads group over the cache heads via grouped einsums; the cache is
     never materialized at H, which would cost a cache-sized write+read per
-    step). Scores are masked beyond the live prefix — static shapes keep
-    XLA happy (no data-dependent slice sizes). Head count is whatever the
-    caller owns (shard-local under tensor parallelism).
-    Returns (B, 1, H·hd)."""
-    b = q.shape[0]
+    call). Query row i attends cache columns ≤ pos+i; scores beyond the
+    live prefix are masked — static shapes keep XLA happy (no
+    data-dependent slice sizes). Head count is whatever the caller owns
+    (shard-local under tensor parallelism). Returns (B, C, H·hd)."""
+    b, c = q.shape[:2]
     max_len = kc.shape[1]
     kvh = kc.shape[2]
     g = q.shape[2] // kvh
-    qg = q.reshape(b, 1, kvh, g, q.shape[3])  # (B, 1, KVH, G, hd)
+    qg = q.reshape(b, c, kvh, g, q.shape[3])  # (B, C, KVH, G, hd)
     scores = jnp.einsum(
         "bqkgd,btkd->bkgqt", qg, kc,
         preferred_element_type=jnp.float32, precision=precision,
     ) / jnp.sqrt(jnp.float32(head_dim))
-    live = jnp.arange(max_len) <= pos  # includes the new token
-    scores = jnp.where(live[None, None, None, None, :], scores, -jnp.inf)
+    live = (
+        jnp.arange(max_len)[None, :] <= pos + jnp.arange(c)[:, None]
+    )  # (C, max_len), includes each row's own token
+    scores = jnp.where(live[None, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
     out = jnp.einsum("bkgqt,btkd->bqkgd", probs, vc, precision=precision)
-    return out.reshape(b, 1, -1)
+    return out.reshape(b, c, -1)
+
+
+def _decode_attention_math(q, kc, vc, pos, head_dim, precision=None):
+    """One-token attention over a static-length cache — the C=1 case of
+    ``_chunk_attention_math``. Returns (B, 1, H·hd)."""
+    return _chunk_attention_math(q, kc, vc, pos, head_dim, precision)
 
 
 def attention_decode_step(
@@ -298,6 +306,43 @@ def attention_decode_step(
     )
     y = _proj(packed, "wo", out, cfg, **kw)
     return y, {"k": kc, "v": vc, "pos": pos + 1}
+
+
+def attention_extend(
+    packed: dict,
+    x: jax.Array,
+    cache: dict,
+    cfg: TernaryAttentionConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+) -> tuple[jax.Array, dict]:
+    """Chunked prefill: append a (B, C, D) chunk at the cache position and
+    attend each chunk token causally over everything cached so far.
+
+    Generalizes ``attention_decode_step`` (C=1) and, composed over chunks
+    starting from an empty cache, computes exactly ``attention_prefill``'s
+    output with O(B·C·D + B·C·max_len) peak attention memory instead of
+    O(B·T²) — the serving answer for prompts too long to prefill in one
+    shot. Returns (y (B, C, D), new_cache)."""
+    b, c, d = x.shape
+    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    q = _split_heads(_proj(packed, "wq", x, cfg, **kw), cfg)  # (B,C,H,hd)
+    k = _split_heads(_proj(packed, "wk", x, cfg, **kw), cfg, cfg.kv_heads)
+    v = _split_heads(_proj(packed, "wv", x, cfg, **kw), cfg, cfg.kv_heads)
+    pos = cache["pos"]
+    kc = jax.lax.dynamic_update_slice(
+        cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)
+    )
+    vc = jax.lax.dynamic_update_slice(
+        cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
+    )
+    out = _chunk_attention_math(
+        q, kc, vc, pos, cfg.head_dim, precision=precision
+    )
+    y = _proj(packed, "wo", out, cfg, **kw)
+    return y, {"k": kc, "v": vc, "pos": pos + c}
 
 
 def qat_attention_forward(

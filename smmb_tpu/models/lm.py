@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from smmb_tpu.models.transformer import (
     TernaryBlockConfig,
     block_decode_step,
+    block_extend,
     block_forward,
     block_prefill,
     init_block,
@@ -179,6 +180,60 @@ def lm_prefill(
     h = rmsnorm(x, packed["norm_f"], cfg.eps)
     logits = _head_logits(packed, h, cfg, compute_dtype, use_kernel)
     return logits[:, -1], new_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "chunk", "compute_dtype", "use_kernel", "precision"
+    ),
+)
+def lm_prefill_chunked(
+    packed: dict,
+    tokens: jax.Array,
+    cache: list,
+    cfg: TernaryLMConfig,
+    chunk: int,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+):
+    """Prompt pass in fixed-size chunks: ``lax.scan`` over T/chunk segments,
+    each attending over the cache filled so far (models/attention.
+    attention_extend) — same result as ``lm_prefill`` with O(B·C·D) peak
+    activation memory instead of O(B·T·D) (and no T×T score tensor), for
+    prompts too long to prefill in one shot. T % chunk must be 0 (pad the
+    prompt; the cache position only advances by real tokens fed in).
+    Returns (last-position logits (B, vocab), filled cache)."""
+    b, t = tokens.shape
+    if t % chunk:
+        raise ValueError(f"prompt length {t} not divisible by chunk {chunk}")
+    chunks = tokens.reshape(b, t // chunk, chunk).transpose(1, 0, 2)
+
+    def body(cache, toks_c):
+        pos = cache[0]["pos"]
+        pe = jax.lax.dynamic_slice(
+            packed["pos"], (pos, 0), (chunk, packed["pos"].shape[1])
+        )
+        x = packed["embed"][toks_c] + pe[None]
+        new_cache = []
+        for blk, c in zip(packed["blocks"], cache):
+            x, c = block_extend(
+                blk, x, c, cfg.block,
+                compute_dtype=compute_dtype, use_kernel=use_kernel,
+                precision=precision,
+            )
+            new_cache.append(c)
+        # emit only the chunk's last hidden state — the head matmul runs
+        # once on the final chunk's, not per chunk
+        return new_cache, rmsnorm(x[:, -1], packed["norm_f"], cfg.eps)
+
+    cache, last_h = jax.lax.scan(body, cache, chunks)
+    logits = _head_logits(
+        packed, last_h[-1][:, None], cfg, compute_dtype, use_kernel
+    )
+    return logits[:, 0], cache
 
 
 def lm_decode_step(

@@ -19,6 +19,7 @@ from smmb_tpu.models.attention import (
     TernaryAttentionConfig,
     _attention_math,
     attention_decode_step,
+    attention_extend,
     attention_forward,
     attention_prefill,
     init_attention,
@@ -216,4 +217,27 @@ def block_decode_step(
     )
     x_t = x_t + att
     y = _mlp_half(packed, x_t, cfg, _make_spmm(compute_dtype, use_kernel))
+    return y, cache
+
+
+def block_extend(
+    packed: dict,
+    x: jax.Array,
+    cache: dict,
+    cfg: TernaryBlockConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+) -> tuple[jax.Array, dict]:
+    """Chunked-prefill step through the block: x is a (B, C, d_model) chunk
+    appended at the cache position; attention covers the cache plus the
+    chunk (attention_extend). MLP/norms are per-token. Returns (y, cache)."""
+    kw = dict(
+        compute_dtype=compute_dtype, use_kernel=use_kernel, precision=precision
+    )
+    h = rmsnorm(x, packed["norm1"], cfg.eps)
+    att, cache = attention_extend(packed["attn"], h, cache, cfg.attn, **kw)
+    x = x + att
+    y = _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel))
     return y, cache

@@ -192,3 +192,88 @@ def test_lm_train_grad_accumulation_matches_full_batch():
 
     with pytest.raises(ValueError, match="divisible"):
         jax.jit(step4)(params, o1, toks[:6])
+
+
+def test_attention_extend_matches_prefill():
+    """Chunked attention_extend over an empty cache == one-shot prefill."""
+    from smmb_tpu.models.attention import (
+        TernaryAttentionConfig, attention_extend, attention_prefill,
+        init_attention, init_kv_cache, pack_attention,
+    )
+    from smmb_tpu.utils import rng
+
+    cfg = TernaryAttentionConfig(d_model=256, n_heads=4, n_kv_heads=2)
+    packed = pack_attention(init_attention(jax.random.PRNGKey(80), cfg))
+    x = rng.rand_dense(jax.random.PRNGKey(81), (2, 16, 256)) * 0.1
+    HI = jax.lax.Precision.HIGHEST
+
+    cache0 = init_kv_cache(cfg, 2, 32)
+    y_ref, cache_ref = attention_prefill(
+        packed, x, cache0, cfg, use_kernel=False, precision=HI
+    )
+    cache = init_kv_cache(cfg, 2, 32)
+    ys = []
+    for i in range(0, 16, 4):
+        y_c, cache = attention_extend(
+            packed, x[:, i:i + 4], cache, cfg, use_kernel=False, precision=HI
+        )
+        ys.append(np.asarray(y_c))
+    y = np.concatenate(ys, axis=1)
+    np.testing.assert_allclose(y, np.asarray(y_ref), atol=1e-4, rtol=0)
+    np.testing.assert_allclose(
+        np.asarray(cache["k"]), np.asarray(cache_ref["k"]), atol=1e-5
+    )
+    assert int(cache["pos"]) == int(cache_ref["pos"]) == 16
+
+
+def test_lm_prefill_chunked_matches_one_shot():
+    """lm_prefill_chunked == lm_prefill: same last logits, same cache."""
+    from smmb_tpu.models.lm import lm_prefill, lm_prefill_chunked
+
+    cfg = TernaryLMConfig(
+        vocab=64, d_model=128, n_heads=2, d_ff=256, n_layers=2, max_len=32,
+        n_kv_heads=1,
+    )
+    params = init_lm(jax.random.PRNGKey(82), cfg)
+    packed = pack_lm(params)
+    toks = jax.random.randint(jax.random.PRNGKey(83), (2, 16), 0, cfg.vocab)
+    HI = jax.lax.Precision.HIGHEST
+
+    logits_ref, cache_ref = lm_prefill(
+        packed, toks, lm_init_cache(cfg, 2), cfg,
+        use_kernel=False, precision=HI,
+    )
+    logits, cache = lm_prefill_chunked(
+        packed, toks, lm_init_cache(cfg, 2), cfg, chunk=4,
+        use_kernel=False, precision=HI,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_ref), atol=2e-4, rtol=0
+    )
+    for c, cr in zip(cache, cache_ref):
+        np.testing.assert_allclose(
+            np.asarray(c["k"]), np.asarray(cr["k"]), atol=1e-5
+        )
+        assert int(c["pos"]) == int(cr["pos"])
+
+    # decode continues identically from either cache
+    from smmb_tpu.models.lm import lm_decode_step
+
+    t0 = jnp.asarray([1, 2])
+    l1, _ = lm_decode_step(
+        packed, t0, cache, cfg, use_kernel=False, precision=HI
+    )
+    l1r, _ = lm_decode_step(
+        packed, t0, cache_ref, cfg, use_kernel=False, precision=HI
+    )
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(l1r), atol=2e-4, rtol=0
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        lm_prefill_chunked(
+            packed, toks[:, :15], lm_init_cache(cfg, 2), cfg, chunk=4,
+            use_kernel=False,
+        )
