@@ -46,10 +46,14 @@ class TernaryMoEConfig:
     capacity_factor: float = 1.25
     alpha: float = 0.2
     non_zero: int = 2
+    top_k: int = 1  # experts per token (1 = Switch, 2 = Mixtral-style)
 
     def capacity(self, n_tokens: int) -> int:
-        """Per-expert token slots, padded to the sublane multiple (8)."""
-        cap = int(self.capacity_factor * n_tokens / self.n_experts)
+        """Per-expert token slots, padded to the sublane multiple (8).
+        Scales with ``top_k`` (k assignments per token share the slots)."""
+        cap = int(
+            self.capacity_factor * self.top_k * n_tokens / self.n_experts
+        )
         return max(8, -(-cap // 8) * 8)
 
 
@@ -128,6 +132,43 @@ def route_top1(router_logits: jax.Array, capacity: int):
     return dispatch, combine
 
 
+def route_topk(router_logits: jax.Array, capacity: int, k: int):
+    """Top-k dispatch/combine tensors from (N, E) logits (GShard-style).
+
+    Each token routes to its k highest-gate experts with the gates
+    renormalized over the chosen k (the Mixtral recipe; k=1 reduces to
+    ``route_top1`` up to that renormalization — a no-op at k=1). Slot
+    assignment is rank-major: every token's rank-0 choice claims expert
+    slots first, then rank-1, ... — lower-rank (higher-gate) assignments
+    survive capacity pressure, matching GShard's priority semantics.
+    Returns (dispatch (N, E, C) multi-hot, combine (N, E, C))."""
+    n, e = router_logits.shape
+    gates = jax.nn.softmax(router_logits, axis=-1)
+    topv, topi = jax.lax.top_k(gates, k)  # (N, k)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    counts = jnp.zeros((e,), router_logits.dtype)  # slots claimed so far
+    dispatch = jnp.zeros((n, e, capacity), router_logits.dtype)
+    combine = jnp.zeros_like(dispatch)
+    for r in range(k):  # k is small and static — unrolled under jit
+        onehot = jax.nn.one_hot(topi[:, r], e, dtype=router_logits.dtype)
+        pos = (jnp.cumsum(onehot, axis=0) - onehot) + counts[None, :]
+        pos = jnp.sum(pos * onehot, axis=-1).astype(jnp.int32)  # (N,)
+        keep = pos < capacity
+        poshot = jax.nn.one_hot(pos, capacity, dtype=router_logits.dtype)
+        d_r = onehot[:, :, None] * poshot[:, None, :] * keep[:, None, None]
+        dispatch = dispatch + d_r
+        combine = combine + d_r * topv[:, r][:, None, None]
+        counts = counts + jnp.sum(onehot, axis=0)
+    return dispatch, combine
+
+
+def _route(router_logits: jax.Array, capacity: int, top_k: int):
+    """Config-driven dispatch: Switch top-1 (raw gate) or GShard top-k."""
+    if top_k == 1:
+        return route_top1(router_logits, capacity)
+    return route_topk(router_logits, capacity, top_k)
+
+
 def load_balance_loss(router_logits: jax.Array):
     """Switch-Transformer auxiliary loss: E · Σ_e f_e · P_e, minimized at
     uniform routing. f_e is the *pre-capacity* routed fraction (argmax
@@ -155,7 +196,7 @@ def qat_moe_forward(params: dict, x: jax.Array, cfg: TernaryMoEConfig):
     n = x.shape[0]
     cap = cfg.capacity(n)
     logits = jnp.dot(x, params["router"], precision=hi)
-    dispatch, combine = route_top1(logits, cap)
+    dispatch, combine = _route(logits, cap, cfg.top_k)
     x_e = jnp.einsum("nec,nd->ecd", dispatch, x, precision=hi)
 
     def body(carry, inp):
@@ -240,7 +281,7 @@ def moe_forward(
     # of the layer's FLOPs; the expert FFNs stay on the fast path.
     hi = jax.lax.Precision.HIGHEST
     logits = jnp.dot(x, packed["router"], precision=hi)
-    dispatch, combine = route_top1(logits, cap)
+    dispatch, combine = _route(logits, cap, cfg.top_k)
     x_e = jnp.einsum("nec,nd->ecd", dispatch, x, precision=hi)  # (E, C, D)
 
     # scan pairs each expert's token slab with its packed weights — both

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from smmb_tpu.models.moe import TernaryMoEConfig, _expert_ffn, route_top1
+from smmb_tpu.models.moe import TernaryMoEConfig, _expert_ffn, _route
 from smmb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -85,7 +85,7 @@ def moe_forward_ep(
         # activations exactly (see models/moe.moe_forward)
         hi = jax.lax.Precision.HIGHEST
         logits = jnp.dot(x_l, d["router"], precision=hi)
-        dispatch, combine = route_top1(logits, cap)
+        dispatch, combine = _route(logits, cap, cfg.top_k)
         off = jax.lax.axis_index(MODEL_AXIS) * e_loc
         disp_l = jax.lax.dynamic_slice_in_dim(dispatch, off, e_loc, axis=1)
         comb_l = jax.lax.dynamic_slice_in_dim(combine, off, e_loc, axis=1)

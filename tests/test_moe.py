@@ -140,3 +140,87 @@ def test_moe_ep_rejects_uneven_experts():
     params = init_moe(jax.random.PRNGKey(13), CFG)  # 4 experts, 8 shards
     with pytest.raises(ValueError):
         shard_moe_ep(pack_moe(params), mesh)
+
+
+def _dense_oracle_topk(params, x, cfg, capacity):
+    """Per-token dense-master reference for GShard top-k routing:
+    renormalized top-k gates, rank-major slot priority."""
+    logits = np.asarray(x @ params["router"])
+    gates = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    order = np.argsort(-gates, axis=-1)[:, : cfg.top_k]  # (N, k) by rank
+    y = np.zeros_like(np.asarray(x))
+    counts = {e: 0 for e in range(cfg.n_experts)}
+    xn = np.asarray(x)
+    w_up, w_down = np.asarray(params["w_up"]), np.asarray(params["w_down"])
+    b_up, b_down = np.asarray(params["b_up"]), np.asarray(params["b_down"])
+    norm = gates[np.arange(len(xn))[:, None], order].sum(-1)
+    for r in range(cfg.top_k):  # rank-major claiming, like route_topk
+        for i in range(xn.shape[0]):
+            e = int(order[i, r])
+            if counts[e] >= capacity:
+                continue
+            counts[e] += 1
+            h = xn[i] @ w_up[e] + b_up[e]
+            h = np.where(h > 0, h, cfg.alpha * h)
+            y[i] += gates[i, e] / norm[i] * (h @ w_down[e] + b_down[e])
+    return y
+
+
+def test_route_topk_rank_priority():
+    """Rank-0 choices claim capacity before any rank-1 choice."""
+    from smmb_tpu.models.moe import route_topk
+
+    # both tokens: rank0 = expert0, rank1 = expert1; capacity 1
+    logits = jnp.asarray([[9.0, 5.0, 0.0], [9.0, 5.0, 0.0]])
+    dispatch, combine = route_topk(logits, capacity=1, k=2)
+    d = np.asarray(dispatch)
+    assert d[0, 0, 0] == 1  # token0 rank0 got expert0's only slot
+    assert d[1, 0].sum() == 0  # token1 rank0 dropped (expert0 full)
+    assert d[0, 1, 0] == 1  # token0 rank1 got expert1's only slot
+    assert d[1, 1].sum() == 0  # token1 rank1 dropped too
+    c = np.asarray(combine)
+    # token0's two gates renormalize to sum 1
+    np.testing.assert_allclose(c[0].sum(), 1.0, atol=1e-6)
+
+
+def test_moe_top2_matches_dense_oracle():
+    cfg = TernaryMoEConfig(d_model=128, d_ff=256, n_experts=4, top_k=2)
+    params = init_moe(jax.random.PRNGKey(40), cfg)
+    packed = pack_moe(params)
+    x = rng.rand_dense(jax.random.PRNGKey(41), (32, 128)) * 0.5
+    cap = cfg.capacity(32)
+    ref = _dense_oracle_topk(params, x, cfg, cap)
+    y = moe_forward(packed, x, cfg, use_kernel=False)
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4, rtol=0)
+
+
+def test_moe_top2_ep_matches_single():
+    cfg = TernaryMoEConfig(d_model=128, d_ff=256, n_experts=8, top_k=2)
+    params = init_moe(jax.random.PRNGKey(42), cfg)
+    packed = pack_moe(params)
+    x = rng.rand_dense(jax.random.PRNGKey(43), (32, 128)) * 0.5
+    ref = moe_forward(packed, x, cfg, use_kernel=False)
+    mesh = make_mesh(2, 4)
+    sharded = shard_moe_ep(packed, mesh)
+    y = moe_forward_ep(sharded, x, cfg, mesh=mesh, use_kernel=False)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(ref), atol=2e-4, rtol=0
+    )
+
+
+def test_moe_top2_qat_trains():
+    from smmb_tpu.models.moe import make_moe_train_step
+
+    cfg = TernaryMoEConfig(d_model=64, d_ff=128, n_experts=4, top_k=2)
+    params = init_moe(jax.random.PRNGKey(44), cfg)
+    params = jax.tree.map(lambda a: a + 0.01, params)
+    x = rng.rand_dense(jax.random.PRNGKey(45), (16, 64)) * 0.5
+    y = rng.rand_dense(jax.random.PRNGKey(46), (16, 64)) * 0.5
+    init_opt, step = make_moe_train_step(cfg, learning_rate=1e-2)
+    opt = init_opt(params)
+    jstep = jax.jit(step)
+    losses = []
+    for _ in range(6):
+        params, opt, loss = jstep(params, opt, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
