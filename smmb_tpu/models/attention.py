@@ -31,6 +31,8 @@ class TernaryAttentionConfig:
     causal: bool = True
     non_zero: int = 2  # expected weight density 1/non_zero
     n_kv_heads: int | None = None  # grouped-query attention; None = MHA
+    rope: bool = False  # rotary position embeddings on Q/K
+    rope_theta: float = 10000.0
 
     @property
     def head_dim(self) -> int:
@@ -49,6 +51,48 @@ class TernaryAttentionConfig:
 
 
 _PROJS = ("wq", "wk", "wv", "wo")
+
+
+def apply_rope(
+    x: jax.Array, positions: jax.Array, theta: float = 10000.0
+) -> jax.Array:
+    """Rotary position embeddings (half-split/NeoX pairing).
+
+    x: (B, T, H, hd) with hd even; positions: (T,) global token indices
+    (dynamic values are fine — decode passes ``pos + arange``). Rotation
+    runs in f32 and casts back, so bf16 serving keeps full-precision
+    angles. RoPE is a per-position orthogonal transform of Q and K:
+    applied at cache-write time for K, the cached keys need no
+    re-rotation at decode (scores depend only on relative offsets)."""
+    hd = x.shape[-1]
+    if hd % 2:
+        raise ValueError(f"RoPE needs an even head_dim, got {hd}")
+    half = hd // 2
+    inv = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[:, None] * inv[None, :]  # (T, half)
+    cos = jnp.cos(ang)[None, :, None, :]
+    sin = jnp.sin(ang)[None, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+def _rope_qk(q, k, cfg: TernaryAttentionConfig, positions):
+    """Rope flat (B, T, D)/(B, T, kv_dim) projections through the head
+    layout and back; no-op when cfg.rope is off."""
+    if not cfg.rope:
+        return q, k
+    b, t, d = q.shape
+    hd = cfg.head_dim
+    q = apply_rope(
+        q.reshape(b, t, cfg.n_heads, hd), positions, cfg.rope_theta
+    ).reshape(b, t, d)
+    k = apply_rope(
+        k.reshape(b, t, cfg.kv_heads, hd), positions, cfg.rope_theta
+    ).reshape(b, t, cfg.kv_dim)
+    return q, k
 
 
 def init_attention(key: jax.Array, cfg: TernaryAttentionConfig) -> dict:
@@ -120,6 +164,10 @@ def _attention_math(
     h, hd = cfg.n_heads, cfg.head_dim
     kvh = cfg.kv_heads
     g = h // kvh
+
+    # full-sequence path: positions 0..T-1 (prefill-from-empty semantics;
+    # chunked continuation goes through attention_extend)
+    q, k = _rope_qk(q, k, cfg, jnp.arange(t))
 
     if use_flash:
         from smmb_tpu.kernels.flash_attention import flash_attention
@@ -223,6 +271,12 @@ def attention_prefill(
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
     k = _split_heads(_proj(packed, "wk", x, cfg, **kw), cfg, cfg.kv_heads)
     v = _split_heads(_proj(packed, "wv", x, cfg, **kw), cfg, cfg.kv_heads)
+    if cfg.rope:
+        # the cache stores ROPED keys (decode then never re-rotates);
+        # positions continue from the cache — attention_forward below
+        # ropes at 0..T-1, so whole-prompt prefill assumes an empty cache
+        # (chunked continuation goes through attention_extend)
+        k = apply_rope(k, cache["pos"] + jnp.arange(t), cfg.rope_theta)
     cache = {
         "k": jax.lax.dynamic_update_slice(
             cache["k"], k.astype(cache["k"].dtype), (0, cache["pos"], 0, 0)
@@ -295,6 +349,9 @@ def attention_decode_step(
     k = _split_heads(_proj(packed, "wk", x_t, cfg, **kw), cfg, cfg.kv_heads)
     v = _split_heads(_proj(packed, "wv", x_t, cfg, **kw), cfg, cfg.kv_heads)
     pos = cache["pos"]
+    if cfg.rope:
+        q = apply_rope(q, pos + jnp.arange(1), cfg.rope_theta)
+        k = apply_rope(k, pos + jnp.arange(1), cfg.rope_theta)
     kc = jax.lax.dynamic_update_slice(
         cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)
     )
@@ -332,6 +389,10 @@ def attention_extend(
     k = _split_heads(_proj(packed, "wk", x, cfg, **kw), cfg, cfg.kv_heads)
     v = _split_heads(_proj(packed, "wv", x, cfg, **kw), cfg, cfg.kv_heads)
     pos = cache["pos"]
+    if cfg.rope:
+        chunk_pos = pos + jnp.arange(c)
+        q = apply_rope(q, chunk_pos, cfg.rope_theta)
+        k = apply_rope(k, chunk_pos, cfg.rope_theta)
     kc = jax.lax.dynamic_update_slice(
         cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)
     )

@@ -57,6 +57,8 @@ class TernaryLMConfig:
     non_zero: int = 2
     eps: float = 1e-6
     n_kv_heads: int | None = None  # grouped-query attention; None = MHA
+    rope: bool = False  # rotary Q/K embeddings (composes with the learned
+    rope_theta: float = 10000.0  # absolute positions, which stay on)
 
     @property
     def block(self) -> TernaryBlockConfig:
@@ -69,6 +71,8 @@ class TernaryLMConfig:
             non_zero=self.non_zero,
             eps=self.eps,
             n_kv_heads=self.n_kv_heads,
+            rope=self.rope,
+            rope_theta=self.rope_theta,
         )
 
 

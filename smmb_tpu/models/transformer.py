@@ -42,6 +42,8 @@ class TernaryBlockConfig:
     non_zero: int = 2
     eps: float = 1e-6
     n_kv_heads: int | None = None  # grouped-query attention; None = MHA
+    rope: bool = False  # rotary position embeddings on Q/K
+    rope_theta: float = 10000.0
 
     @property
     def attn(self) -> TernaryAttentionConfig:
@@ -51,6 +53,8 @@ class TernaryBlockConfig:
             causal=self.causal,
             non_zero=self.non_zero,
             n_kv_heads=self.n_kv_heads,
+            rope=self.rope,
+            rope_theta=self.rope_theta,
         )
 
 

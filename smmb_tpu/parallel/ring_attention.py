@@ -34,13 +34,16 @@ from smmb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 _NEG = -1e30  # finite mask value: exp(_NEG - m) underflows to 0 cleanly
 
 
-def _ring_body(q, k, v, s, causal, precision):
+def _ring_body(q, k, v, s, causal, precision, rope_theta=None):
     """Per-device online-softmax ring: q fixed, (k, v) rotate s times.
 
     q: (B, Tq, H, hd) local chunk; k/v: (B, Tk, KVH, hd) local chunks —
     KVH < H is grouped-query attention: the query heads group over the KV
     heads in the score/output einsums (never materialized at H), and the
     rotating chunks are KVH/H-times smaller over ICI.
+    ``rope_theta`` applies rotary embeddings at each shard's GLOBAL
+    positions before the ring — every device ropes its own chunk, so the
+    rotating keys arrive pre-rotated (RoPE commutes with the rotation).
     Returns (B, Tq, H, hd).
     """
     b, tq, h, hd = q.shape
@@ -50,8 +53,14 @@ def _ring_body(q, k, v, s, causal, precision):
     scale = 1.0 / jnp.sqrt(jnp.float32(hd))
     perm = [(i, (i + 1) % s) for i in range(s)]
 
-    qg = q.reshape(b, tq, kvh, g, hd)  # (B, Tq, KVH, G, hd)
     q_pos = me * tq + jnp.arange(tq)  # global positions of my queries
+    if rope_theta is not None:
+        from smmb_tpu.models.attention import apply_rope
+
+        q = apply_rope(q, q_pos, rope_theta)
+        k = apply_rope(k, q_pos, rope_theta)  # my chunk: same positions
+
+    qg = q.reshape(b, tq, kvh, g, hd)  # (B, Tq, KVH, G, hd)
 
     def accum(kc, vc, m, l, acc, i):
         """Fold the currently-held K/V chunk into the online softmax."""
@@ -99,7 +108,7 @@ def _ring_body(q, k, v, s, causal, precision):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "causal", "precision")
+    jax.jit, static_argnames=("mesh", "causal", "precision", "rope_theta")
 )
 def ring_attention(
     q: jax.Array,
@@ -109,17 +118,19 @@ def ring_attention(
     mesh: Mesh,
     causal: bool = True,
     precision=None,
+    rope_theta: float | None = None,
 ) -> jax.Array:
     """Multi-head attention with the sequence axis sharded over ``model``.
 
     q/k/v: (B, T, H, hd) with T sharded over the ``model`` mesh axis and B
     over ``data``; returns the attention output with the same placement.
-    T must divide evenly into model-axis chunks.
+    T must divide evenly into model-axis chunks. ``rope_theta`` applies
+    rotary embeddings at global positions before the ring.
     """
     s = mesh.shape[MODEL_AXIS]
 
     def body(q_l, k_l, v_l):
-        return _ring_body(q_l, k_l, v_l, s, causal, precision)
+        return _ring_body(q_l, k_l, v_l, s, causal, precision, rope_theta)
 
     spec = P(DATA_AXIS, MODEL_AXIS, None, None)
     return jax.shard_map(
@@ -176,7 +187,10 @@ def attention_forward_sp(
         q = proj("wq", x_l).reshape(bl, tl, cfg.n_heads, hd)
         k = proj("wk", x_l).reshape(bl, tl, cfg.kv_heads, hd)
         v = proj("wv", x_l).reshape(bl, tl, cfg.kv_heads, hd)
-        att = _ring_body(q, k, v, s, cfg.causal, precision)
+        att = _ring_body(
+            q, k, v, s, cfg.causal, precision,
+            rope_theta=cfg.rope_theta if cfg.rope else None,
+        )
         y = proj("wo", att.reshape(bl, tl, dm))
         return y.reshape(bl, tl, dm)
 

@@ -77,7 +77,10 @@ def _block_body_sp(
     q = proj("wq", h).reshape(bl, tl, cfg.attn.n_heads, hd)
     k = proj("wk", h).reshape(bl, tl, cfg.attn.kv_heads, hd)
     v = proj("wv", h).reshape(bl, tl, cfg.attn.kv_heads, hd)
-    att = _ring_body(q, k, v, s, cfg.causal, precision)
+    att = _ring_body(
+        q, k, v, s, cfg.causal, precision,
+        rope_theta=cfg.attn.rope_theta if cfg.attn.rope else None,
+    )
     x_l = x_l + proj("wo", att.reshape(bl, tl, dm)).reshape(bl, tl, dm)
 
     h2 = rmsnorm(x_l, d["norm2"], cfg.eps).reshape(bl * tl, dm)

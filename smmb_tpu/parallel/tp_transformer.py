@@ -34,7 +34,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from smmb_tpu.models.attention import _attention_math, _decode_attention_math
+from smmb_tpu.models.attention import (
+    _attention_math,
+    _decode_attention_math,
+    apply_rope,
+)
 from smmb_tpu.models.transformer import TernaryBlockConfig, rmsnorm
 from smmb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from smmb_tpu.parallel.sharded import (
@@ -282,6 +286,9 @@ def _block_decode_body_tp(
     q, k, v = _qkv_local(
         d, h, bl, one, h_loc, kvh_loc, hd, compute_dtype, use_kernel, dm
     )
+    if cfg.attn.rope:
+        q = apply_rope(q, pos + jnp.arange(1), cfg.attn.rope_theta)
+        k = apply_rope(k, pos + jnp.arange(1), cfg.attn.rope_theta)
     kc = jax.lax.dynamic_update_slice(
         kc, k.astype(kc.dtype), (0, pos, 0, 0)
     )
@@ -382,8 +389,16 @@ def block_prefill_tp(
         q, k, v = _qkv_local(
             d, h, bl, t, h_loc, kvh_loc, hd, compute_dtype, use_kernel, dm
         )
+        if cfg.attn.rope:
+            # cache stores roped keys (decode never re-rotates); the raw
+            # k stays in qkv below — _attention_math ropes it internally
+            k_cache = apply_rope(
+                k, pos + jnp.arange(t), cfg.attn.rope_theta
+            )
+        else:
+            k_cache = k
         kc = jax.lax.dynamic_update_slice(
-            kc, k.astype(kc.dtype), (0, pos, 0, 0)
+            kc, k_cache.astype(kc.dtype), (0, pos, 0, 0)
         )
         vc = jax.lax.dynamic_update_slice(
             vc, v.astype(vc.dtype), (0, pos, 0, 0)
