@@ -355,12 +355,18 @@ def make_lm_train_step(
     return init_opt, train_step
 
 
-def _make_sampler(temperature: float, top_k: int | None):
+def _make_sampler(
+    temperature: float, top_k: int | None, top_p: float | None = None
+):
     """Token-selection rule for ``generate``.
 
     temperature == 0 → greedy argmax (key unused). Otherwise softmax
     sampling at the given temperature, optionally truncated to the top-k
-    logits (standard serving controls; everything static-shape).
+    logits and/or the top-p (nucleus) probability mass — both masks apply
+    before renormalization, like the standard serving stacks. Everything
+    is static-shape: nucleus truncation sorts once and masks by the
+    cumulative probability BEFORE each token, so the smallest set with
+    mass ≥ p survives (the first token always does).
     """
     if temperature == 0.0:
         return lambda key, logits: jnp.argmax(logits, axis=-1)
@@ -370,6 +376,17 @@ def _make_sampler(temperature: float, top_k: int | None):
         if top_k is not None:
             kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
             logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if top_p is not None:
+            srt = jnp.sort(logits, axis=-1, descending=True)
+            probs = jax.nn.softmax(srt, axis=-1)
+            # mass strictly before each sorted position; keep while < p
+            before = jnp.cumsum(probs, axis=-1) - probs
+            keep = before < top_p
+            # threshold = smallest kept logit (keep is a prefix of the sort)
+            cut = jnp.min(
+                jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True
+            )
+            logits = jnp.where(logits < cut, -jnp.inf, logits)
         return jax.random.categorical(key, logits, axis=-1)
 
     return sample
@@ -379,7 +396,7 @@ def _make_sampler(temperature: float, top_k: int | None):
     jax.jit,
     static_argnames=(
         "cfg", "steps", "compute_dtype", "use_kernel", "temperature",
-        "top_k", "use_flash",
+        "top_k", "top_p", "use_flash",
     ),
 )
 def generate(
@@ -392,6 +409,7 @@ def generate(
     use_kernel: bool = True,
     temperature: float = 0.0,
     top_k: int | None = None,
+    top_p: float | None = None,
     key: jax.Array | None = None,
     use_flash: bool = False,
 ) -> jax.Array:
@@ -414,7 +432,7 @@ def generate(
         raise ValueError("temperature > 0 sampling needs a PRNG key")
     if key is None:
         key = jax.random.PRNGKey(0)  # unused by the greedy sampler
-    sampler = _make_sampler(temperature, top_k)
+    sampler = _make_sampler(temperature, top_k, top_p)
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
     # the cache follows the serving dtype: a bf16 cache halves the decode's
     # cache read traffic, which dominates at batch x long-context

@@ -277,3 +277,34 @@ def test_lm_prefill_chunked_matches_one_shot():
             packed, toks[:, :15], lm_init_cache(cfg, 2), cfg, chunk=4,
             use_kernel=False,
         )
+
+
+def test_top_p_sampler_masks_tail():
+    """Nucleus sampling keeps the smallest prefix with mass >= p."""
+    from smmb_tpu.models.lm import _make_sampler
+
+    # probs ~ [0.85, 0.09, 0.03, ...]: top_p=0.5 must keep ONLY token 0
+    logits = jnp.asarray([[5.0, 2.75, 1.6, 1.0, 0.5, 0.0]])
+    sample = _make_sampler(temperature=1.0, top_k=None, top_p=0.5)
+    keys = jax.random.split(jax.random.PRNGKey(0), 64)
+    toks = np.asarray([int(sample(k, logits)[0]) for k in keys])
+    assert set(toks) == {0}, set(toks)
+
+    # p=0.9 keeps {0, 1} (0.85 alone < 0.9); never samples the tail
+    sample = _make_sampler(temperature=1.0, top_k=None, top_p=0.9)
+    toks = np.asarray([int(sample(k, logits)[0]) for k in keys])
+    assert set(toks) <= {0, 1} and 1 in set(toks), set(toks)
+
+
+def test_generate_top_p_runs():
+    cfg = TernaryLMConfig(
+        vocab=64, d_model=128, n_heads=2, d_ff=256, n_layers=1, max_len=32
+    )
+    packed = pack_lm(init_lm(jax.random.PRNGKey(70), cfg))
+    toks = jax.random.randint(jax.random.PRNGKey(71), (2, 8), 0, cfg.vocab)
+    out = generate(
+        packed, toks, cfg, steps=6, use_kernel=False,
+        temperature=0.8, top_p=0.9, key=jax.random.PRNGKey(72),
+    )
+    assert out.shape == (2, 6)
+    assert np.all((np.asarray(out) >= 0) & (np.asarray(out) < cfg.vocab))
