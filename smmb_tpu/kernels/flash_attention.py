@@ -59,6 +59,7 @@ def _flash_kernel(
     ns: int,
     scale: float,
     causal: bool,
+    window: int | None,
     block_q: int,
     block_kv: int,
     s_len: int,
@@ -93,6 +94,9 @@ def _flash_kernel(
                 jnp.int32, (block_q, block_kv), 0
             )
             live = jnp.logical_and(live, row >= col)
+            if window is not None:
+                # sliding window: row attends (row - window, row]
+                live = jnp.logical_and(live, col > row - window)
         scores = jnp.where(live, scores, _NEG)
 
         m_prev = m_ref[:, :1]
@@ -108,9 +112,17 @@ def _flash_kernel(
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     if causal:
-        # tiles entirely above the diagonal: index map re-used the previous
-        # block (no DMA), pl.when skips the compute
-        @pl.when(s * block_kv <= i * block_q + block_q - 1)
+        # tiles entirely above the diagonal — or entirely below the
+        # sliding window — are skipped: the index map re-used an already
+        # fetched block (no DMA) and pl.when skips the compute
+        live_tile = s * block_kv <= i * block_q + block_q - 1
+        if window is not None:
+            live_tile = jnp.logical_and(
+                live_tile,
+                s * block_kv + block_kv - 1 > i * block_q - window,
+            )
+
+        @pl.when(live_tile)
         def _():
             body()
 
@@ -131,6 +143,7 @@ def _flash_kernel(
     jax.jit,
     static_argnames=(
         "causal",
+        "window",
         "scale",
         "block_q",
         "block_kv",
@@ -143,6 +156,7 @@ def flash_attention(
     v: jax.Array,
     *,
     causal: bool = True,
+    window: int | None = None,
     scale: float | None = None,
     block_q: int | None = None,
     block_kv: int | None = None,
@@ -157,6 +171,9 @@ def flash_attention(
         grouped-query attention).
       causal: mask position t from attending beyond t (query row i attends
         kv cols ≤ i — prefill semantics, q and kv aligned at position 0).
+      window: sliding-window (local) attention — row i attends cols in
+        (i−window, i]. Requires causal. Tiles entirely below the window
+        skip their DMA and compute, so long-T cost is O(T·window).
       scale: score multiplier; default 1/sqrt(hd).
       block_q / block_kv: VMEM tile sizes along T and S.
     Returns:
@@ -168,6 +185,10 @@ def flash_attention(
         raise ValueError(f"q {q.shape} vs k {k.shape} vs v {v.shape}")
     if h % kvh:
         raise ValueError(f"H {h} % KVH {kvh} != 0")
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     g = h // kvh
     if scale is None:
         scale = 1.0 / hd ** 0.5
@@ -191,9 +212,14 @@ def flash_attention(
     nq, ns = tp // bq, sp // bs
 
     if causal:
-        # past the diagonal, re-use the last live block index → no DMA
+        # past the diagonal (or below the window), re-use the nearest live
+        # block index → no DMA for skipped tiles
         def kv_index(bh, i, si):
-            return (bh // g, jnp.minimum(si, (i * bq + bq - 1) // bs), 0)
+            hi = (i * bq + bq - 1) // bs
+            if window is None:
+                return (bh // g, jnp.minimum(si, hi), 0)
+            lo = jnp.maximum(0, (i * bq - window + 1) // bs)
+            return (bh // g, jnp.clip(si, lo, hi), 0)
 
     else:
 
@@ -213,6 +239,7 @@ def flash_attention(
             ns=ns,
             scale=scale,
             causal=causal,
+            window=window,
             block_q=bq,
             block_kv=bs,
             s_len=s_len,

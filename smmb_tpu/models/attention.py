@@ -33,6 +33,11 @@ class TernaryAttentionConfig:
     n_kv_heads: int | None = None  # grouped-query attention; None = MHA
     rope: bool = False  # rotary position embeddings on Q/K
     rope_theta: float = 10000.0
+    # sliding-window (local) attention: position t attends (t-window, t].
+    # None = full causal. Masking-only: the cache stays max_len-sized (the
+    # compute win is the point on TPU — scores outside the window never
+    # contribute, and the flash kernel skips whole tiles below it).
+    window: int | None = None
 
     @property
     def head_dim(self) -> int:
@@ -175,7 +180,9 @@ def _attention_math(
         qh = q.reshape(b, t, h, hd).transpose(0, 2, 1, 3)
         kh = k.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
         vh = v.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
-        out = flash_attention(qh, kh, vh, causal=cfg.causal)
+        out = flash_attention(
+            qh, kh, vh, causal=cfg.causal, window=cfg.window
+        )
         return out.transpose(0, 2, 1, 3).reshape(b, t, d)
 
     # q: (B, KVH, G, T, hd); k/v: (B, KVH, T, hd)
@@ -188,6 +195,11 @@ def _attention_math(
     ) / jnp.sqrt(jnp.float32(hd))
     if cfg.causal:
         mask = jnp.tril(jnp.ones((t, t), bool))
+        if cfg.window is not None:
+            # row i attends cols in (i - window, i]
+            mask = jnp.logical_and(
+                mask, jnp.tril(jnp.ones((t, t), bool), -cfg.window) == 0
+            )
         scores = jnp.where(mask, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgqt,bktd->bkgqd", probs, v, precision=precision)
@@ -292,7 +304,9 @@ def attention_prefill(
     return y, cache
 
 
-def _chunk_attention_math(q, kc, vc, pos, head_dim, precision=None):
+def _chunk_attention_math(
+    q, kc, vc, pos, head_dim, precision=None, window=None
+):
     """C-token chunk attention over a static-length cache.
 
     q: (B, C, H, hd); kc/vc: (B, max_len, KVH, hd) with the chunk already
@@ -312,19 +326,23 @@ def _chunk_attention_math(q, kc, vc, pos, head_dim, precision=None):
         "bqkgd,btkd->bkgqt", qg, kc,
         preferred_element_type=jnp.float32, precision=precision,
     ) / jnp.sqrt(jnp.float32(head_dim))
-    live = (
-        jnp.arange(max_len)[None, :] <= pos + jnp.arange(c)[:, None]
-    )  # (C, max_len), includes each row's own token
+    qpos = pos + jnp.arange(c)[:, None]  # (C, 1) global query positions
+    cols = jnp.arange(max_len)[None, :]
+    live = cols <= qpos  # (C, max_len), includes each row's own token
+    if window is not None:
+        live = jnp.logical_and(live, cols > qpos - window)
     scores = jnp.where(live[None, None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
     out = jnp.einsum("bkgqt,btkd->bqkgd", probs, vc, precision=precision)
     return out.reshape(b, c, -1)
 
 
-def _decode_attention_math(q, kc, vc, pos, head_dim, precision=None):
+def _decode_attention_math(
+    q, kc, vc, pos, head_dim, precision=None, window=None
+):
     """One-token attention over a static-length cache — the C=1 case of
     ``_chunk_attention_math``. Returns (B, 1, H·hd)."""
-    return _chunk_attention_math(q, kc, vc, pos, head_dim, precision)
+    return _chunk_attention_math(q, kc, vc, pos, head_dim, precision, window)
 
 
 def attention_decode_step(
@@ -359,7 +377,7 @@ def attention_decode_step(
         cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
     )
     out = _decode_attention_math(
-        q, kc, vc, pos, cfg.head_dim, precision=precision
+        q, kc, vc, pos, cfg.head_dim, precision=precision, window=cfg.window
     )
     y = _proj(packed, "wo", out, cfg, **kw)
     return y, {"k": kc, "v": vc, "pos": pos + 1}
@@ -400,7 +418,7 @@ def attention_extend(
         cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
     )
     out = _chunk_attention_math(
-        q, kc, vc, pos, cfg.head_dim, precision=precision
+        q, kc, vc, pos, cfg.head_dim, precision=precision, window=cfg.window
     )
     y = _proj(packed, "wo", out, cfg, **kw)
     return y, {"k": kc, "v": vc, "pos": pos + c}

@@ -59,6 +59,7 @@ class TernaryLMConfig:
     n_kv_heads: int | None = None  # grouped-query attention; None = MHA
     rope: bool = False  # rotary Q/K embeddings (composes with the learned
     rope_theta: float = 10000.0  # absolute positions, which stay on)
+    window: int | None = None  # sliding-window attention; None = full causal
 
     @property
     def block(self) -> TernaryBlockConfig:
@@ -73,6 +74,7 @@ class TernaryLMConfig:
             n_kv_heads=self.n_kv_heads,
             rope=self.rope,
             rope_theta=self.rope_theta,
+            window=self.window,
         )
 
 

@@ -44,6 +44,7 @@ class TernaryBlockConfig:
     n_kv_heads: int | None = None  # grouped-query attention; None = MHA
     rope: bool = False  # rotary position embeddings on Q/K
     rope_theta: float = 10000.0
+    window: int | None = None  # sliding-window attention; None = full causal
 
     @property
     def attn(self) -> TernaryAttentionConfig:
@@ -55,6 +56,7 @@ class TernaryBlockConfig:
             n_kv_heads=self.n_kv_heads,
             rope=self.rope,
             rope_theta=self.rope_theta,
+            window=self.window,
         )
 
 

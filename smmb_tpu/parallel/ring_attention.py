@@ -34,7 +34,7 @@ from smmb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 _NEG = -1e30  # finite mask value: exp(_NEG - m) underflows to 0 cleanly
 
 
-def _ring_body(q, k, v, s, causal, precision, rope_theta=None):
+def _ring_body(q, k, v, s, causal, precision, rope_theta=None, window=None):
     """Per-device online-softmax ring: q fixed, (k, v) rotate s times.
 
     q: (B, Tq, H, hd) local chunk; k/v: (B, Tk, KVH, hd) local chunks —
@@ -75,6 +75,10 @@ def _ring_body(q, k, v, s, causal, precision, rope_theta=None):
         if causal:
             k_pos = src * tq + jnp.arange(kc.shape[1])
             live = q_pos[:, None] >= k_pos[None, :]  # (Tq, Tk)
+            if window is not None:
+                live = jnp.logical_and(
+                    live, q_pos[:, None] - k_pos[None, :] < window
+                )
             scores = jnp.where(live[None, None, None], scores, _NEG)
         m_new = jnp.maximum(m, scores.max(axis=-1))  # (B, KVH, G, Tq)
         alpha = jnp.exp(m - m_new)  # rescale of the old accumulator
@@ -190,6 +194,7 @@ def attention_forward_sp(
         att = _ring_body(
             q, k, v, s, cfg.causal, precision,
             rope_theta=cfg.rope_theta if cfg.rope else None,
+            window=cfg.window,
         )
         y = proj("wo", att.reshape(bl, tl, dm))
         return y.reshape(bl, tl, dm)

@@ -80,6 +80,7 @@ def _block_body_sp(
     att = _ring_body(
         q, k, v, s, cfg.causal, precision,
         rope_theta=cfg.attn.rope_theta if cfg.attn.rope else None,
+        window=cfg.attn.window,
     )
     x_l = x_l + proj("wo", att.reshape(bl, tl, dm)).reshape(bl, tl, dm)
 

@@ -295,7 +295,9 @@ def _block_decode_body_tp(
     vc = jax.lax.dynamic_update_slice(
         vc, v.astype(vc.dtype), (0, pos, 0, 0)
     )
-    att = _decode_attention_math(q, kc, vc, pos, hd, precision=precision)
+    att = _decode_attention_math(
+        q, kc, vc, pos, hd, precision=precision, window=cfg.attn.window
+    )
     part = _local_spmm(
         att.reshape(bl, h_loc * hd) * d["so"], d["wo"], None, None,
         compute_dtype, use_kernel, dm // ms,
