@@ -188,6 +188,40 @@ def lm_prefill(
     return logits[:, -1], new_cache
 
 
+def lm_extend(
+    packed: dict,
+    tokens: jax.Array,
+    cache: list,
+    cfg: TernaryLMConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+):
+    """Append a (B, C) token chunk at the cache position and return the
+    logits at EVERY chunk position: ((B, C, vocab), new cache).
+
+    The multi-token generalization of ``lm_decode_step`` (and the building
+    block of chunked prefill and speculative-decode verification): each
+    chunk token attends the cache plus its chunk prefix."""
+    b, c = tokens.shape
+    pos = cache[0]["pos"]
+    pe = jax.lax.dynamic_slice(
+        packed["pos"], (pos, 0), (c, packed["pos"].shape[1])
+    )
+    x = packed["embed"][tokens] + pe[None]
+    new_cache = []
+    for blk, ch in zip(packed["blocks"], cache):
+        x, ch = block_extend(
+            blk, x, ch, cfg.block,
+            compute_dtype=compute_dtype, use_kernel=use_kernel,
+            precision=precision,
+        )
+        new_cache.append(ch)
+    h = rmsnorm(x, packed["norm_f"], cfg.eps)
+    return _head_logits(packed, h, cfg, compute_dtype, use_kernel), new_cache
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

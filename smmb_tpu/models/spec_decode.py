@@ -1,0 +1,151 @@
+"""Speculative decoding: a small ternary draft LM proposes, the target
+verifies k tokens per step (net-new serving feature; the reference has no
+serving stack at all, SURVEY.md §5).
+
+Greedy speculative decoding is exactly output-equivalent to the target's
+own greedy ``generate`` — the draft only changes WHEN tokens are computed,
+never WHAT. Each round:
+
+1. the draft runs k+1 incremental decode steps from the last accepted
+   token (k proposals + one extra step that consumes the k-th proposal so
+   the draft cache stays position-synchronized with the target on full
+   acceptance);
+2. the target verifies the whole ``[t_last, d_1..d_k]`` chunk with ONE
+   ``lm_extend`` call — k+1 positions of logits for the cost of one
+   cache-attention pass (the MXU sees a (k+1)-row matmul instead of k+1
+   single-row ones: this is where the speedup lives — ternary weights
+   stream from HBM once per round instead of once per token);
+3. the longest prefix of proposals matching the target's argmax is
+   accepted, plus the target's own next token (the correction on a
+   mismatch, the bonus token on full acceptance) — n_acc+1 tokens per
+   round, ≥ 1 always, so the loop terminates;
+4. both caches rewind their position to the accepted length (entries past
+   it are masked by position and overwritten by later writes).
+
+TPU-first shape discipline: the emit buffer is (1, steps+k+1) and every
+round writes a full (k+1)-wide slab at the current count with
+``dynamic_update_slice`` — garbage beyond the accepted prefix is
+overwritten by the next round (static shapes, no data-dependent sizes).
+
+Batch 1 only: acceptance length is per-sequence, and a shared cache
+position is the whole trick — per-row positions would force per-row
+gather/scatter on every cache touch. Speculative decoding is a batch-1
+latency optimization; throughput batching should just use ``generate``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from smmb_tpu.models.lm import (
+    TernaryLMConfig,
+    lm_decode_step,
+    lm_extend,
+    lm_init_cache,
+    lm_prefill,
+)
+
+
+def _set_pos(cache: list, pos) -> list:
+    """Rewind every block cache to ``pos`` consumed tokens."""
+    return [{**c, "pos": pos} for c in cache]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "target_cfg", "draft_cfg", "steps", "k",
+        "compute_dtype", "use_kernel", "precision",
+    ),
+)
+def generate_speculative(
+    target: dict,
+    draft: dict,
+    prompt: jax.Array,
+    target_cfg: TernaryLMConfig,
+    draft_cfg: TernaryLMConfig,
+    steps: int,
+    *,
+    k: int = 4,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+) -> jax.Array:
+    """(1, T) prompt → (1, steps) greedy continuation of the TARGET model,
+    computed with draft-proposed/target-verified rounds of k proposals.
+
+    ``target`` / ``draft`` are packed LMs (pack_lm) sharing a vocabulary;
+    the draft is typically a fraction of the target's size. Output is
+    token-identical to ``generate(target, ..., steps)``.
+    """
+    b, t = prompt.shape
+    if b != 1:
+        raise ValueError(
+            f"speculative decode is batch-1 only (got batch {b}); the "
+            "acceptance length is per-sequence"
+        )
+    if t + steps + k + 1 > min(target_cfg.max_len, draft_cfg.max_len):
+        raise ValueError(
+            f"prompt {t} + steps {steps} + k+1 {k + 1} exceeds max_len "
+            f"{min(target_cfg.max_len, draft_cfg.max_len)}"
+        )
+    kw = dict(
+        compute_dtype=compute_dtype, use_kernel=use_kernel,
+        precision=precision,
+    )
+    tc = lm_init_cache(target_cfg, 1, dtype=compute_dtype)
+    dc = lm_init_cache(draft_cfg, 1, dtype=compute_dtype)
+    logits, tc = lm_prefill(target, prompt, tc, target_cfg, **kw)
+    _, dc = lm_prefill(draft, prompt, dc, draft_cfg, **kw)
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1,)
+
+    out = jnp.zeros((1, steps + k + 1), jnp.int32)
+    out = jax.lax.dynamic_update_slice(out, tok0[:, None], (0, 0))
+
+    def cond(carry):
+        return carry[0] < steps
+
+    def body(carry):
+        count, t_last, tc, dc, out = carry
+        p_t, p_d = tc[0]["pos"], dc[0]["pos"]
+
+        # 1) draft proposes k tokens (plus the cache-sync step)
+        def dstep(c, _):
+            tok, cache = c
+            lg, cache = lm_decode_step(draft, tok, cache, draft_cfg, **kw)
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            return (nxt, cache), nxt
+
+        (_, dc), ds = jax.lax.scan(
+            dstep, (t_last, dc), None, length=k + 1
+        )  # ds: (k+1, 1)
+        drafts = ds[:k, 0]  # (k,)
+
+        # 2) target verifies the whole chunk in one extend
+        chunk = jnp.concatenate([t_last[:, None], drafts[None, :]], axis=1)
+        vlogits, tc = lm_extend(target, chunk, tc, target_cfg, **kw)
+        preds = jnp.argmax(vlogits, axis=-1)[0].astype(jnp.int32)  # (k+1,)
+
+        # 3) longest matching prefix + the target's own next token
+        match = (preds[:k] == drafts).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(match))
+        nxt = jnp.take(preds, n_acc)  # correction or bonus
+        idx = jnp.arange(k + 1)
+        drafts_ext = jnp.concatenate([drafts, jnp.zeros((1,), jnp.int32)])
+        slab = jnp.where(idx < n_acc, drafts_ext, nxt)[None, :]
+        out = jax.lax.dynamic_update_slice(out, slab, (0, count))
+
+        # 4) rewind both caches to the accepted length
+        consumed = n_acc + 1
+        tc = _set_pos(tc, p_t + consumed)
+        dc = _set_pos(dc, p_d + consumed)
+        return (count + consumed, nxt[None], tc, dc, out)
+
+    count0 = jnp.int32(1)
+    _, _, _, _, out = jax.lax.while_loop(
+        cond, body, (count0, tok0, tc, dc, out)
+    )
+    return out[:, :steps]

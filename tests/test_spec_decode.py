@@ -1,0 +1,83 @@
+"""Speculative decoding: token-exact equivalence with target greedy.
+
+The whole point of greedy speculative decoding is that the draft changes
+WHEN tokens are computed, never WHAT — so the output must equal the
+target's own greedy ``generate`` token for token.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smmb_tpu.models.lm import TernaryLMConfig, generate, init_lm, pack_lm
+from smmb_tpu.models.spec_decode import generate_speculative
+
+
+TARGET = TernaryLMConfig(
+    vocab=64, d_model=128, n_heads=2, d_ff=256, n_layers=2, max_len=64
+)
+DRAFT = TernaryLMConfig(
+    vocab=64, d_model=64, n_heads=2, d_ff=128, n_layers=1, max_len=64
+)
+
+
+def _models(seed=0):
+    target = pack_lm(init_lm(jax.random.PRNGKey(seed), TARGET))
+    draft = pack_lm(init_lm(jax.random.PRNGKey(seed + 1), DRAFT))
+    return target, draft
+
+
+@pytest.mark.parametrize("k", [1, 3, 4])
+def test_spec_matches_target_greedy(k):
+    target, draft = _models(10)
+    prompt = jax.random.randint(jax.random.PRNGKey(12), (1, 8), 0, 64)
+    want = generate(target, prompt, TARGET, steps=16, use_kernel=False)
+    got = generate_speculative(
+        target, draft, prompt, TARGET, DRAFT, steps=16, k=k,
+        use_kernel=False,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_spec_self_draft_accepts_everything():
+    """Draft == target: every proposal accepted → still exact output."""
+    target, _ = _models(20)
+    prompt = jax.random.randint(jax.random.PRNGKey(21), (1, 6), 0, 64)
+    want = generate(target, prompt, TARGET, steps=12, use_kernel=False)
+    got = generate_speculative(
+        target, target, prompt, TARGET, TARGET, steps=12, k=4,
+        use_kernel=False,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_spec_with_rope_and_gqa():
+    """Spec decode composes with rope + GQA configs (cache semantics)."""
+    tcfg = dataclasses.replace(TARGET, rope=True, n_kv_heads=1)
+    dcfg = dataclasses.replace(DRAFT, rope=True)
+    target = pack_lm(init_lm(jax.random.PRNGKey(30), tcfg))
+    draft = pack_lm(init_lm(jax.random.PRNGKey(31), dcfg))
+    prompt = jax.random.randint(jax.random.PRNGKey(32), (1, 8), 0, 64)
+    want = generate(target, prompt, tcfg, steps=10, use_kernel=False)
+    got = generate_speculative(
+        target, draft, prompt, tcfg, dcfg, steps=10, k=3,
+        use_kernel=False,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_spec_rejects_batch_and_overflow():
+    target, draft = _models(40)
+    with pytest.raises(ValueError, match="batch-1"):
+        generate_speculative(
+            target, draft, jnp.zeros((2, 4), jnp.int32), TARGET, DRAFT,
+            steps=4, use_kernel=False,
+        )
+    with pytest.raises(ValueError, match="max_len"):
+        generate_speculative(
+            target, draft, jnp.zeros((1, 8), jnp.int32), TARGET, DRAFT,
+            steps=60, use_kernel=False,
+        )
