@@ -1,4 +1,4 @@
-"""CLI: ``python -m smmb_tpu {showcase,sweep,scaling,mlp,decode,lm,headline}``.
+"""CLI: ``python -m smmb_tpu {showcase,sweep,scaling,mlp,decode,lm,spec,headline}``.
 
 The L5 automation surface (reference: ./benchmark.sh + parse-out2csv.sh +
 performance.py, SURVEY.md §3.5) as one entry point.
@@ -30,6 +30,10 @@ def main():
         from smmb_tpu.bench.lm_bench import main as lm_main
 
         lm_main(rest)
+    elif mode == "spec":
+        from smmb_tpu.bench.spec_bench import main as spec_main
+
+        spec_main(rest)
     elif mode == "scaling":
         from smmb_tpu.bench.scaling import main as scaling_main
 
