@@ -1,0 +1,29 @@
+#!/usr/bin/env bash
+# Round-2f hardware pass: everything that accumulated while the axon
+# tunnel was down. Each step is independently timed out so one hang
+# doesn't kill the batch; logs land in bench_out/.
+#
+#   bash scripts/run_r2f_hw.sh
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD:${PYTHONPATH:-}"
+mkdir -p bench_out
+
+run() { # name timeout cmd...
+  local name=$1 to=$2; shift 2
+  echo "=== $name ($(date +%T)) ===" | tee -a bench_out/r2f_hw.log
+  timeout "$to" "$@" 2>&1 | grep -v WARNING | tee bench_out/"$name".txt \
+    | tail -20
+  echo "--- $name exit=$? ---" | tee -a bench_out/r2f_hw.log
+}
+
+# 1) flash kernel: on-chip parity vs f64 oracle + timing point
+run verify_flash 900 python scripts/verify_flash.py
+# 2) flash vs einsum at long context (T=4096 MHA, T=8192 GQA)
+run bench_flash 1200 python scripts/bench_flash.py
+# 3) speculative decoding: plain vs spec-self vs spec-draft
+run spec_bench 1200 python -m smmb_tpu spec --steps 64 --k 4
+# 4) LM generate sanity (should still be ~85 us/tok batch-1)
+run lm_bench 900 python -m smmb_tpu lm --steps 64
+# 5) headline roofline sanity (bench.py prints the driver JSON line)
+run headline 900 python bench.py
