@@ -239,16 +239,76 @@ def init_kv_cache(
     batch: int,
     max_len: int,
     dtype=jnp.float32,
+    quantized: bool = False,
 ) -> dict:
     """Static-shape KV cache for incremental decode (net-new vs reference;
     serving requirement). ``pos`` counts tokens already written. Under GQA
-    the cache holds only ``kv_heads`` heads — group-factor smaller."""
+    the cache holds only ``kv_heads`` heads — group-factor smaller.
+
+    ``quantized=True`` stores int8 codes with a per-token-per-head f32
+    absmax scale (``k_scale``/``v_scale``) — 4×/2× less decode read
+    traffic than f32/bf16, which is the long-context decode bottleneck.
+    XLA fuses the dequant multiply into the attention einsum operands, so
+    HBM sees only the int8 bytes."""
     shape = (batch, max_len, cfg.kv_heads, cfg.head_dim)
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(sshape, jnp.float32),
+            "v_scale": jnp.zeros(sshape, jnp.float32),
+            "pos": jnp.int32(0),
+        }
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "pos": jnp.int32(0),
     }
+
+
+def _quantize_kv(x):
+    """(…, hd) f32/bf16 → (int8 codes, f32 absmax-scale with hd→1)."""
+    scale = jnp.max(
+        jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True
+    ) / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    codes = jnp.round(x.astype(jnp.float32) / safe).astype(jnp.int8)
+    return codes, scale.astype(jnp.float32)
+
+
+def _cache_write(cache: dict, k, v, pos) -> dict:
+    """Append (B, C, KVH, hd) k/v at ``pos`` (quantizing if the cache is
+    int8) and advance ``pos`` by C."""
+    out = dict(cache)
+    if "k_scale" in cache:
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        for name, val in (
+            ("k", kq), ("v", vq), ("k_scale", ks), ("v_scale", vs)
+        ):
+            out[name] = jax.lax.dynamic_update_slice(
+                cache[name], val.astype(cache[name].dtype),
+                (0, pos, 0, 0),
+            )
+    else:
+        for name, val in (("k", k), ("v", v)):
+            out[name] = jax.lax.dynamic_update_slice(
+                cache[name], val.astype(cache[name].dtype), (0, pos, 0, 0)
+            )
+    out["pos"] = pos + k.shape[1]
+    return out
+
+
+def _cache_kv(cache: dict):
+    """The cache's K/V as compute arrays (dequantized view if int8 —
+    the multiply fuses into the downstream einsum, codes stream from HBM)."""
+    if "k_scale" in cache:
+        return (
+            cache["k"].astype(jnp.float32) * cache["k_scale"],
+            cache["v"].astype(jnp.float32) * cache["v_scale"],
+        )
+    return cache["k"], cache["v"]
 
 
 def _split_heads(x, cfg: TernaryAttentionConfig, heads: int | None = None):
@@ -289,15 +349,7 @@ def attention_prefill(
         # ropes at 0..T-1, so whole-prompt prefill assumes an empty cache
         # (chunked continuation goes through attention_extend)
         k = apply_rope(k, cache["pos"] + jnp.arange(t), cfg.rope_theta)
-    cache = {
-        "k": jax.lax.dynamic_update_slice(
-            cache["k"], k.astype(cache["k"].dtype), (0, cache["pos"], 0, 0)
-        ),
-        "v": jax.lax.dynamic_update_slice(
-            cache["v"], v.astype(cache["v"].dtype), (0, cache["pos"], 0, 0)
-        ),
-        "pos": cache["pos"] + t,
-    }
+    cache = _cache_write(cache, k, v, cache["pos"])
     y = attention_forward(
         packed, x, cfg, precision=precision, use_flash=use_flash, **kw
     )
@@ -370,17 +422,13 @@ def attention_decode_step(
     if cfg.rope:
         q = apply_rope(q, pos + jnp.arange(1), cfg.rope_theta)
         k = apply_rope(k, pos + jnp.arange(1), cfg.rope_theta)
-    kc = jax.lax.dynamic_update_slice(
-        cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)
-    )
-    vc = jax.lax.dynamic_update_slice(
-        cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
-    )
+    cache = _cache_write(cache, k, v, pos)
+    kc, vc = _cache_kv(cache)
     out = _decode_attention_math(
         q, kc, vc, pos, cfg.head_dim, precision=precision, window=cfg.window
     )
     y = _proj(packed, "wo", out, cfg, **kw)
-    return y, {"k": kc, "v": vc, "pos": pos + 1}
+    return y, cache
 
 
 def attention_extend(
@@ -411,17 +459,13 @@ def attention_extend(
         chunk_pos = pos + jnp.arange(c)
         q = apply_rope(q, chunk_pos, cfg.rope_theta)
         k = apply_rope(k, chunk_pos, cfg.rope_theta)
-    kc = jax.lax.dynamic_update_slice(
-        cache["k"], k.astype(cache["k"].dtype), (0, pos, 0, 0)
-    )
-    vc = jax.lax.dynamic_update_slice(
-        cache["v"], v.astype(cache["v"].dtype), (0, pos, 0, 0)
-    )
+    cache = _cache_write(cache, k, v, pos)
+    kc, vc = _cache_kv(cache)
     out = _chunk_attention_math(
         q, kc, vc, pos, cfg.head_dim, precision=precision, window=cfg.window
     )
     y = _proj(packed, "wo", out, cfg, **kw)
-    return y, {"k": kc, "v": vc, "pos": pos + c}
+    return y, cache
 
 
 def qat_attention_forward(

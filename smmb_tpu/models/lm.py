@@ -154,9 +154,14 @@ def lm_forward(
     return _head_logits(packed, h, cfg, compute_dtype, use_kernel)
 
 
-def lm_init_cache(cfg: TernaryLMConfig, batch: int, dtype=jnp.float32):
+def lm_init_cache(
+    cfg: TernaryLMConfig, batch: int, dtype=jnp.float32,
+    quantized: bool = False,
+):
     return [
-        init_block_cache(cfg.block, batch, cfg.max_len, dtype=dtype)
+        init_block_cache(
+            cfg.block, batch, cfg.max_len, dtype=dtype, quantized=quantized
+        )
         for _ in range(cfg.n_layers)
     ]
 
@@ -432,7 +437,7 @@ def _make_sampler(
     jax.jit,
     static_argnames=(
         "cfg", "steps", "compute_dtype", "use_kernel", "temperature",
-        "top_k", "top_p", "use_flash",
+        "top_k", "top_p", "use_flash", "kv_quant",
     ),
 )
 def generate(
@@ -448,6 +453,7 @@ def generate(
     top_p: float | None = None,
     key: jax.Array | None = None,
     use_flash: bool = False,
+    kv_quant: bool = False,
 ) -> jax.Array:
     """Generation: (B, T) prompt → (B, steps) continuation tokens.
 
@@ -471,8 +477,12 @@ def generate(
     sampler = _make_sampler(temperature, top_k, top_p)
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
     # the cache follows the serving dtype: a bf16 cache halves the decode's
-    # cache read traffic, which dominates at batch x long-context
-    cache = lm_init_cache(cfg, prompt.shape[0], dtype=compute_dtype)
+    # cache read traffic, which dominates at batch x long-context;
+    # kv_quant=True stores int8 codes + per-token absmax scales instead
+    # (4x less read traffic than f32 at ~1e-2 relative cache error)
+    cache = lm_init_cache(
+        cfg, prompt.shape[0], dtype=compute_dtype, quantized=kv_quant
+    )
     logits, cache = lm_prefill(
         packed, prompt, cache, cfg, use_flash=use_flash, **kw
     )

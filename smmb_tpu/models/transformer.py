@@ -134,10 +134,14 @@ def block_forward(
 
 
 def init_block_cache(
-    cfg: TernaryBlockConfig, batch: int, max_len: int, dtype=jnp.float32
+    cfg: TernaryBlockConfig,
+    batch: int,
+    max_len: int,
+    dtype=jnp.float32,
+    quantized: bool = False,
 ) -> dict:
     """KV cache for one block's attention (see attention.init_kv_cache)."""
-    return init_kv_cache(cfg.attn, batch, max_len, dtype)
+    return init_kv_cache(cfg.attn, batch, max_len, dtype, quantized)
 
 
 def _mlp_half(packed, x, cfg, spmm):

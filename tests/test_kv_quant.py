@@ -1,0 +1,117 @@
+"""int8-quantized KV cache: near-parity with the f32 cache paths.
+
+Per-token-per-head absmax int8 quantization bounds the relative cache
+error at ~1/127 ≈ 8e-3; attention outputs are convex combinations of V
+rows, so output error stays at that order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smmb_tpu.models.attention import (
+    TernaryAttentionConfig,
+    _quantize_kv,
+    attention_decode_step,
+    attention_extend,
+    attention_prefill,
+    init_attention,
+    init_kv_cache,
+    pack_attention,
+)
+from smmb_tpu.models.lm import (
+    TernaryLMConfig,
+    generate,
+    init_lm,
+    lm_init_cache,
+    lm_prefill,
+    pack_lm,
+)
+from smmb_tpu.utils import rng
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def test_quantize_roundtrip_error_bound():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 4, 64)) * 3.0
+    codes, scale = _quantize_kv(x)
+    assert codes.dtype == jnp.int8
+    back = codes.astype(jnp.float32) * scale
+    # absmax/127 per (token, head) slice bounds the absolute error
+    bound = np.asarray(scale) * 0.5 + 1e-7
+    assert np.all(np.abs(np.asarray(back - x)) <= bound)
+    # all-zero rows stay exactly zero (safe-scale path)
+    z, zs = _quantize_kv(jnp.zeros((1, 1, 1, 8)))
+    assert float(jnp.abs(z.astype(jnp.float32)).max()) == 0.0
+
+
+def test_quantized_decode_near_f32_cache():
+    cfg = TernaryAttentionConfig(d_model=256, n_heads=4, n_kv_heads=2)
+    packed = pack_attention(init_attention(jax.random.PRNGKey(1), cfg))
+    x = rng.rand_dense(jax.random.PRNGKey(2), (2, 12, 256)) * 0.1
+
+    def run(quantized):
+        cache = init_kv_cache(cfg, 2, 16, quantized=quantized)
+        y, cache = attention_prefill(
+            packed, x[:, :8], cache, cfg, use_kernel=False, precision=HI
+        )
+        ys = [y]
+        for i in range(8, 12):
+            y_t, cache = attention_decode_step(
+                packed, x[:, i:i + 1], cache, cfg,
+                use_kernel=False, precision=HI,
+            )
+            ys.append(y_t)
+        return jnp.concatenate(ys, axis=1)
+
+    ref, qnt = run(False), run(True)
+    rel = float(jnp.max(jnp.abs(ref - qnt)) / jnp.max(jnp.abs(ref)))
+    assert rel < 2e-2, rel
+    assert rel > 0  # quantization genuinely happened
+
+
+def test_quantized_extend_matches_decode_composition():
+    """Chunked extend and step-by-step decode agree on the SAME quantized
+    cache contents (both quantize at write, attend dequantized)."""
+    cfg = TernaryAttentionConfig(d_model=128, n_heads=2)
+    packed = pack_attention(init_attention(jax.random.PRNGKey(3), cfg))
+    x = rng.rand_dense(jax.random.PRNGKey(4), (1, 8, 128)) * 0.1
+
+    c1 = init_kv_cache(cfg, 1, 16, quantized=True)
+    y1, c1 = attention_extend(
+        packed, x, c1, cfg, use_kernel=False, precision=HI
+    )
+    c2 = init_kv_cache(cfg, 1, 16, quantized=True)
+    ys = []
+    for i in range(8):
+        y_t, c2 = attention_decode_step(
+            packed, x[:, i:i + 1], c2, cfg, use_kernel=False, precision=HI
+        )
+        ys.append(y_t)
+    np.testing.assert_array_equal(np.asarray(c1["k"]), np.asarray(c2["k"]))
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(jnp.concatenate(ys, 1)),
+        atol=1e-4, rtol=0,
+    )
+
+
+def test_kv_quant_generate_runs_and_tracks_greedy():
+    cfg = TernaryLMConfig(
+        vocab=64, d_model=128, n_heads=2, d_ff=256, n_layers=2, max_len=32
+    )
+    packed = pack_lm(init_lm(jax.random.PRNGKey(5), cfg))
+    toks = jax.random.randint(jax.random.PRNGKey(6), (2, 8), 0, cfg.vocab)
+    g0 = np.asarray(generate(packed, toks, cfg, steps=8, use_kernel=False))
+    gq = np.asarray(
+        generate(packed, toks, cfg, steps=8, use_kernel=False, kv_quant=True)
+    )
+    assert gq.shape == (2, 8)
+    # int8 cache noise may flip late near-tie tokens; early steps agree
+    np.testing.assert_array_equal(gq[:, :2], g0[:, :2])
+
+    # the quantized cache really is int8 under the hood
+    cache = lm_init_cache(cfg, 2, quantized=True)
+    assert cache[0]["k"].dtype == jnp.int8
+    _, cache = lm_prefill(packed, toks, cache, cfg, use_kernel=False)
+    assert cache[0]["k"].dtype == jnp.int8
+    assert int(cache[0]["pos"]) == 8
