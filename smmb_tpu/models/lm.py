@@ -281,6 +281,28 @@ def lm_prefill_chunked(
     return logits[:, 0], cache
 
 
+def fork_cache(cache: list, n: int) -> list:
+    """Prefix caching: broadcast a batch-1 prefilled cache to ``n`` rows.
+
+    Serve a shared prompt once (``lm_prefill`` at batch 1), fork, then run
+    ``n`` divergent continuations batched — the prompt's attention work
+    and cache bytes are paid once instead of ``n`` times. Rows are
+    independent copies from the fork onward (each row's subsequent writes
+    land in its own cache row)."""
+    if cache and cache[0]["k"].shape[0] != 1:
+        raise ValueError(
+            f"fork_cache takes a batch-1 cache, got batch "
+            f"{cache[0]['k'].shape[0]}"
+        )
+
+    def rep(name, a):
+        if name == "pos":
+            return a
+        return jnp.broadcast_to(a, (n,) + a.shape[1:])
+
+    return [{k_: rep(k_, v) for k_, v in c.items()} for c in cache]
+
+
 def lm_decode_step(
     packed: dict,
     token_t: jax.Array,

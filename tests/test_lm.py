@@ -308,3 +308,39 @@ def test_generate_top_p_runs():
     )
     assert out.shape == (2, 6)
     assert np.all((np.asarray(out) >= 0) & (np.asarray(out) < cfg.vocab))
+
+
+def test_fork_cache_prefix_caching():
+    """Prefill once at batch 1, fork to 3 rows, decode divergent tokens —
+    each row matches an independent full pass over (prompt + its token)."""
+    from smmb_tpu.models.lm import fork_cache, lm_decode_step, lm_prefill
+
+    cfg = TernaryLMConfig(
+        vocab=64, d_model=128, n_heads=2, d_ff=256, n_layers=2, max_len=32
+    )
+    packed = pack_lm(init_lm(jax.random.PRNGKey(60), cfg))
+    prompt = jax.random.randint(jax.random.PRNGKey(61), (1, 8), 0, cfg.vocab)
+    HI = jax.lax.Precision.HIGHEST
+
+    _, cache1 = lm_prefill(
+        packed, prompt, lm_init_cache(cfg, 1), cfg,
+        use_kernel=False, precision=HI,
+    )
+    forked = fork_cache(cache1, 3)
+    div = jnp.asarray([5, 17, 42])
+    logits, forked = lm_decode_step(
+        packed, div, forked, cfg, use_kernel=False, precision=HI
+    )
+
+    for r in range(3):
+        toks_r = jnp.concatenate([prompt, div[r][None, None]], axis=1)
+        full = lm_forward(packed, toks_r, cfg, use_kernel=False, precision=HI)
+        np.testing.assert_allclose(
+            np.asarray(logits[r]), np.asarray(full[0, -1]),
+            atol=5e-4, rtol=0, err_msg=f"row {r}",
+        )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="batch-1"):
+        fork_cache(forked, 2)
