@@ -144,7 +144,8 @@ def pack_attention(params: dict, quantize: bool = False) -> dict:
 
 
 def _attention_math(
-    q, k, v, cfg: TernaryAttentionConfig, precision=None, use_flash=False
+    q, k, v, cfg: TernaryAttentionConfig, precision=None, use_flash=False,
+    valid=None,
 ):
     """(B, T, D) projections → multi-head scaled dot-product attention.
 
@@ -164,7 +165,13 @@ def _attention_math(
     ``jax.lax.Precision.HIGHEST`` for bit-tight parity checks (e.g.
     decode-vs-full): at default precision the full and incremental paths
     round differently and diverge at bf16 noise level.
+
+    ``valid``: optional (B, T) bool marking real (non-pad) tokens for
+    left-padded ragged batches; pad columns are masked out of every row's
+    attention (einsum path only — flash serves aligned batches).
     """
+    if valid is not None and use_flash:
+        raise ValueError("use_flash does not support ragged (valid) masks")
     b, t, d = q.shape
     h, hd = cfg.n_heads, cfg.head_dim
     kvh = cfg.kv_heads
@@ -201,6 +208,15 @@ def _attention_math(
                 mask, jnp.tril(jnp.ones((t, t), bool), -cfg.window) == 0
             )
         scores = jnp.where(mask, scores, -jnp.inf)
+    if valid is not None:
+        # pad rows attend only themselves (all-masked rows would NaN the
+        # softmax); their outputs are garbage and never read
+        pad_ok = jnp.logical_or(
+            valid[:, None, :], jnp.eye(t, dtype=bool)[None]
+        )  # (B, Tq, Tk)
+        scores = jnp.where(
+            pad_ok[:, None, None], scores, -jnp.inf
+        )
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bkgqt,bktd->bkgqd", probs, v, precision=precision)
     # (B, KVH, G, T, hd) → (B, T, KVH·G·hd) = (B, T, D)
@@ -216,12 +232,14 @@ def attention_forward(
     use_kernel: bool = True,
     precision=None,
     use_flash: bool = False,
+    valid=None,
 ) -> jax.Array:
     """Serving forward: packed projections around dense attention math.
 
     x: (B, T, d_model). All four projections stream 2-bit planes.
     ``use_flash`` swaps the einsum attention math for the Pallas
     online-softmax kernel (no T×T score tensor in HBM; long-context T).
+    ``valid`` (B, T) marks real tokens in a left-padded ragged batch.
     """
 
     def proj(name, inp):
@@ -230,7 +248,9 @@ def attention_forward(
     q = proj("wq", x)
     k = proj("wk", x)
     v = proj("wv", x)
-    att = _attention_math(q, k, v, cfg, precision=precision, use_flash=use_flash)
+    att = _attention_math(
+        q, k, v, cfg, precision=precision, use_flash=use_flash, valid=valid
+    )
     return proj("wo", att)
 
 
@@ -240,6 +260,7 @@ def init_kv_cache(
     max_len: int,
     dtype=jnp.float32,
     quantized: bool = False,
+    ragged: bool = False,
 ) -> dict:
     """Static-shape KV cache for incremental decode (net-new vs reference;
     serving requirement). ``pos`` counts tokens already written. Under GQA
@@ -249,22 +270,28 @@ def init_kv_cache(
     absmax scale (``k_scale``/``v_scale``) — 4×/2× less decode read
     traffic than f32/bf16, which is the long-context decode bottleneck.
     XLA fuses the dequant multiply into the attention einsum operands, so
-    HBM sees only the int8 bytes."""
+    HBM sees only the int8 bytes.
+
+    ``ragged=True`` adds a per-row ``valid`` mask for LEFT-padded ragged
+    batches: prefill marks pad slots invalid and every attention read
+    masks them. Left padding keeps the write position uniform across rows
+    (all rows end at the same buffer index), which is what lets one
+    scalar ``pos`` serve a ragged batch."""
     shape = (batch, max_len, cfg.kv_heads, cfg.head_dim)
-    if quantized:
-        sshape = shape[:-1] + (1,)
-        return {
-            "k": jnp.zeros(shape, jnp.int8),
-            "v": jnp.zeros(shape, jnp.int8),
-            "k_scale": jnp.zeros(sshape, jnp.float32),
-            "v_scale": jnp.zeros(sshape, jnp.float32),
-            "pos": jnp.int32(0),
-        }
-    return {
+    cache = {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
         "pos": jnp.int32(0),
     }
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        cache["k"] = jnp.zeros(shape, jnp.int8)
+        cache["v"] = jnp.zeros(shape, jnp.int8)
+        cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
+        cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
+    if ragged:
+        cache["valid"] = jnp.zeros((batch, max_len), bool)
+    return cache
 
 
 def _quantize_kv(x):
@@ -277,10 +304,17 @@ def _quantize_kv(x):
     return codes, scale.astype(jnp.float32)
 
 
-def _cache_write(cache: dict, k, v, pos) -> dict:
+def _cache_write(cache: dict, k, v, pos, valid=None) -> dict:
     """Append (B, C, KVH, hd) k/v at ``pos`` (quantizing if the cache is
-    int8) and advance ``pos`` by C."""
+    int8) and advance ``pos`` by C. ``valid`` (B, C) marks real tokens for
+    ragged caches (defaults to all-real, e.g. decode appends)."""
     out = dict(cache)
+    if "valid" in cache:
+        if valid is None:
+            valid = jnp.ones((k.shape[0], k.shape[1]), bool)
+        out["valid"] = jax.lax.dynamic_update_slice(
+            cache["valid"], valid, (0, pos)
+        )
     if "k_scale" in cache:
         kq, ks = _quantize_kv(k)
         vq, vs = _quantize_kv(v)
@@ -336,9 +370,13 @@ def attention_prefill(
     use_kernel: bool = True,
     precision=None,
     use_flash: bool = False,
+    valid=None,
 ) -> tuple[jax.Array, dict]:
     """Process a whole prompt (B, T, D): full causal attention (identical to
-    ``attention_forward``) plus cache fill. Returns (y, cache)."""
+    ``attention_forward``) plus cache fill. Returns (y, cache).
+
+    ``valid`` (B, T): real-token mask for a left-padded ragged batch
+    (requires a ragged cache); pad slots are written but marked invalid."""
     b, t, _ = x.shape
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
     k = _split_heads(_proj(packed, "wk", x, cfg, **kw), cfg, cfg.kv_heads)
@@ -347,17 +385,20 @@ def attention_prefill(
         # the cache stores ROPED keys (decode then never re-rotates);
         # positions continue from the cache — attention_forward below
         # ropes at 0..T-1, so whole-prompt prefill assumes an empty cache
-        # (chunked continuation goes through attention_extend)
+        # (chunked continuation goes through attention_extend). Buffer
+        # positions serve ragged batches too: left-padding keeps relative
+        # offsets between real tokens intact, which is all RoPE sees.
         k = apply_rope(k, cache["pos"] + jnp.arange(t), cfg.rope_theta)
-    cache = _cache_write(cache, k, v, cache["pos"])
+    cache = _cache_write(cache, k, v, cache["pos"], valid=valid)
     y = attention_forward(
-        packed, x, cfg, precision=precision, use_flash=use_flash, **kw
+        packed, x, cfg, precision=precision, use_flash=use_flash,
+        valid=valid, **kw
     )
     return y, cache
 
 
 def _chunk_attention_math(
-    q, kc, vc, pos, head_dim, precision=None, window=None
+    q, kc, vc, pos, head_dim, precision=None, window=None, valid=None
 ):
     """C-token chunk attention over a static-length cache.
 
@@ -383,18 +424,25 @@ def _chunk_attention_math(
     live = cols <= qpos  # (C, max_len), includes each row's own token
     if window is not None:
         live = jnp.logical_and(live, cols > qpos - window)
-    scores = jnp.where(live[None, None, None], scores, -jnp.inf)
+    live = live[None, None, None]  # (1, 1, 1, C, max_len)
+    if valid is not None:
+        # ragged batch: pad slots are masked per row (queries here are
+        # always real tokens — pads only exist in the prefill region)
+        live = jnp.logical_and(live, valid[:, None, None, None, :])
+    scores = jnp.where(live, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(vc.dtype)
     out = jnp.einsum("bkgqt,btkd->bqkgd", probs, vc, precision=precision)
     return out.reshape(b, c, -1)
 
 
 def _decode_attention_math(
-    q, kc, vc, pos, head_dim, precision=None, window=None
+    q, kc, vc, pos, head_dim, precision=None, window=None, valid=None
 ):
     """One-token attention over a static-length cache — the C=1 case of
     ``_chunk_attention_math``. Returns (B, 1, H·hd)."""
-    return _chunk_attention_math(q, kc, vc, pos, head_dim, precision, window)
+    return _chunk_attention_math(
+        q, kc, vc, pos, head_dim, precision, window, valid
+    )
 
 
 def attention_decode_step(
@@ -425,7 +473,8 @@ def attention_decode_step(
     cache = _cache_write(cache, k, v, pos)
     kc, vc = _cache_kv(cache)
     out = _decode_attention_math(
-        q, kc, vc, pos, cfg.head_dim, precision=precision, window=cfg.window
+        q, kc, vc, pos, cfg.head_dim, precision=precision,
+        window=cfg.window, valid=cache.get("valid"),
     )
     y = _proj(packed, "wo", out, cfg, **kw)
     return y, cache
@@ -462,7 +511,8 @@ def attention_extend(
     cache = _cache_write(cache, k, v, pos)
     kc, vc = _cache_kv(cache)
     out = _chunk_attention_math(
-        q, kc, vc, pos, cfg.head_dim, precision=precision, window=cfg.window
+        q, kc, vc, pos, cfg.head_dim, precision=precision,
+        window=cfg.window, valid=cache.get("valid"),
     )
     y = _proj(packed, "wo", out, cfg, **kw)
     return y, cache

@@ -156,11 +156,12 @@ def lm_forward(
 
 def lm_init_cache(
     cfg: TernaryLMConfig, batch: int, dtype=jnp.float32,
-    quantized: bool = False,
+    quantized: bool = False, ragged: bool = False,
 ):
     return [
         init_block_cache(
-            cfg.block, batch, cfg.max_len, dtype=dtype, quantized=quantized
+            cfg.block, batch, cfg.max_len, dtype=dtype,
+            quantized=quantized, ragged=ragged,
         )
         for _ in range(cfg.n_layers)
     ]
@@ -176,16 +177,30 @@ def lm_prefill(
     use_kernel: bool = True,
     precision=None,
     use_flash: bool = False,
+    prompt_mask=None,
 ):
-    """Prompt pass: returns (last-position logits (B, vocab), filled cache)."""
+    """Prompt pass: returns (last-position logits (B, vocab), filled cache).
+
+    ``prompt_mask`` (B, T) bool marks real tokens in a LEFT-padded ragged
+    batch (real tokens are each row's rightmost run, so every row's last
+    prompt token sits at buffer position T-1 and one scalar cache ``pos``
+    serves all rows). Requires a ragged cache (lm_init_cache(ragged=True));
+    the learned positional embedding indexes each row's logical position
+    (pads reuse position 0 — their outputs are masked out of attention)."""
     b, t = tokens.shape
-    x = packed["embed"][tokens] + packed["pos"][None, :t]
+    if prompt_mask is None:
+        x = packed["embed"][tokens] + packed["pos"][None, :t]
+    else:
+        pos_ids = jnp.clip(
+            jnp.cumsum(prompt_mask.astype(jnp.int32), axis=1) - 1, 0
+        )  # (B, T) logical positions
+        x = packed["embed"][tokens] + packed["pos"][pos_ids]
     new_cache = []
     for blk, c in zip(packed["blocks"], cache):
         x, c = block_prefill(
             blk, x, c, cfg.block,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
-            precision=precision, use_flash=use_flash,
+            precision=precision, use_flash=use_flash, valid=prompt_mask,
         )
         new_cache.append(c)
     h = rmsnorm(x, packed["norm_f"], cfg.eps)
@@ -312,14 +327,21 @@ def lm_decode_step(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    pos_ids=None,
 ):
     """One decode step: (B,) int tokens → ((B, vocab) logits, cache).
 
     Reads the position from the first block's cache (all blocks advance in
-    lockstep); O(T·D) per step via the per-block KV caches.
+    lockstep); O(T·D) per step via the per-block KV caches. ``pos_ids``
+    (B,) overrides the learned-positional-embedding index per row (ragged
+    batches: each row's logical position differs from the buffer index).
     """
     pos = cache[0]["pos"]
-    x = packed["embed"][token_t][:, None, :] + packed["pos"][pos][None, None]
+    if pos_ids is None:
+        pe = packed["pos"][pos][None, None]
+    else:
+        pe = packed["pos"][pos_ids][:, None]
+    x = packed["embed"][token_t][:, None, :] + pe
     new_cache = []
     for blk, c in zip(packed["blocks"], cache):
         x, c = block_decode_step(
@@ -476,6 +498,7 @@ def generate(
     key: jax.Array | None = None,
     use_flash: bool = False,
     kv_quant: bool = False,
+    prompt_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Generation: (B, T) prompt → (B, steps) continuation tokens.
 
@@ -484,6 +507,11 @@ def generate(
     prefill then a ``lax.scan`` of decode steps — static shapes throughout
     (cache preallocated at ``cfg.max_len``). ``use_flash`` applies to the
     prefill only (decode steps read the cache; they have no T×T scores).
+
+    ``prompt_mask`` (B, T) bool serves a RAGGED batch: left-pad each
+    prompt (real tokens rightmost) and mark the real ones. Pad slots are
+    masked out of all attention; the learned positional embedding uses
+    each row's logical position. Not combinable with ``use_flash``.
     """
     if prompt.shape[1] + steps > cfg.max_len:
         # dynamic_update_slice clamps out-of-range writes, which would
@@ -503,22 +531,33 @@ def generate(
     # kv_quant=True stores int8 codes + per-token absmax scales instead
     # (4x less read traffic than f32 at ~1e-2 relative cache error)
     cache = lm_init_cache(
-        cfg, prompt.shape[0], dtype=compute_dtype, quantized=kv_quant
+        cfg, prompt.shape[0], dtype=compute_dtype, quantized=kv_quant,
+        ragged=prompt_mask is not None,
     )
     logits, cache = lm_prefill(
-        packed, prompt, cache, cfg, use_flash=use_flash, **kw
+        packed, prompt, cache, cfg, use_flash=use_flash,
+        prompt_mask=prompt_mask, **kw
     )
     key, k0 = jax.random.split(key)
     tok0 = sampler(k0, logits)
+    # per-row logical positions for the learned embedding (ragged only)
+    row_pos0 = (
+        None if prompt_mask is None
+        else jnp.sum(prompt_mask.astype(jnp.int32), axis=1)
+    )
 
     def step(carry, _):
-        tok, cache, key = carry
-        logits, cache = lm_decode_step(packed, tok, cache, cfg, **kw)
+        tok, cache, key, row_pos = carry
+        logits, cache = lm_decode_step(
+            packed, tok, cache, cfg, pos_ids=row_pos, **kw
+        )
         key, ks = jax.random.split(key)
         nxt = sampler(ks, logits)
-        return (nxt, cache, key), tok
+        if row_pos is not None:
+            row_pos = row_pos + 1
+        return (nxt, cache, key, row_pos), tok
 
-    (_, _, _), toks = jax.lax.scan(
-        step, (tok0, cache, key), None, length=steps
+    (_, _, _, _), toks = jax.lax.scan(
+        step, (tok0, cache, key, row_pos0), None, length=steps
     )
     return jnp.moveaxis(toks, 0, 1)  # (B, steps)

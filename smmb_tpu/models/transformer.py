@@ -139,9 +139,10 @@ def init_block_cache(
     max_len: int,
     dtype=jnp.float32,
     quantized: bool = False,
+    ragged: bool = False,
 ) -> dict:
     """KV cache for one block's attention (see attention.init_kv_cache)."""
-    return init_kv_cache(cfg.attn, batch, max_len, dtype, quantized)
+    return init_kv_cache(cfg.attn, batch, max_len, dtype, quantized, ragged)
 
 
 def _mlp_half(packed, x, cfg, spmm):
@@ -194,11 +195,13 @@ def block_prefill(
     use_kernel: bool = True,
     precision=None,
     use_flash: bool = False,
+    valid=None,
 ) -> tuple[jax.Array, dict]:
-    """Prompt pass: full block forward + KV-cache fill. Returns (y, cache)."""
+    """Prompt pass: full block forward + KV-cache fill. Returns (y, cache).
+    ``valid`` (B, T): real-token mask for left-padded ragged batches."""
     kw = dict(
         compute_dtype=compute_dtype, use_kernel=use_kernel,
-        precision=precision, use_flash=use_flash,
+        precision=precision, use_flash=use_flash, valid=valid,
     )
     h = rmsnorm(x, packed["norm1"], cfg.eps)
     att, cache = attention_prefill(packed["attn"], h, cache, cfg.attn, **kw)
