@@ -296,6 +296,17 @@ def lm_prefill_chunked(
     return logits[:, 0], cache
 
 
+def _reindex_cache(cache: list, idx: jax.Array) -> list:
+    """Gather cache rows by beam index (scalars like ``pos`` pass through)."""
+    return [
+        {
+            k_: (v[idx] if getattr(v, "ndim", 0) > 0 else v)
+            for k_, v in c.items()
+        }
+        for c in cache
+    ]
+
+
 def fork_cache(cache: list, n: int) -> list:
     """Prefix caching: broadcast a batch-1 prefilled cache to ``n`` rows.
 
@@ -475,6 +486,64 @@ def _make_sampler(
         return jax.random.categorical(key, logits, axis=-1)
 
     return sample
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "steps", "beam", "compute_dtype", "use_kernel"),
+)
+def generate_beam(
+    packed: dict,
+    prompt: jax.Array,
+    cfg: TernaryLMConfig,
+    steps: int,
+    *,
+    beam: int = 4,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Beam search: (1, T) prompt → ((beam, steps) tokens, (beam,) scores).
+
+    Fixed-width beam over summed log-probabilities (no EOS semantics —
+    the framework is tokenizer-agnostic; fixed-length hypotheses compare
+    fairly without length normalization). Beams are rows of a forked KV
+    cache (``fork_cache``); each step scores beam×vocab continuations,
+    keeps the top ``beam``, and gathers cache rows by surviving-beam
+    index. ``beam=1`` reduces exactly to greedy ``generate``. Returned
+    hypotheses are sorted best-first.
+    """
+    b, t = prompt.shape
+    if b != 1:
+        raise ValueError(f"beam search is batch-1 only (got batch {b})")
+    if t + steps > cfg.max_len:
+        raise ValueError(
+            f"prompt_len={t} + steps={steps} exceeds max_len={cfg.max_len}"
+        )
+    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    cache = lm_init_cache(cfg, 1, dtype=compute_dtype)
+    logits, cache = lm_prefill(packed, prompt, cache, cfg, **kw)
+    logp = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+    scores, tok = jax.lax.top_k(logp, beam)  # (beam,), (beam,)
+    cache = fork_cache(cache, beam)
+    toks = jnp.zeros((beam, steps), jnp.int32)
+    toks = toks.at[:, 0].set(tok)
+
+    def step(carry, i):
+        tok, scores, cache, toks = carry
+        logits, cache = lm_decode_step(packed, tok, cache, cfg, **kw)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))  # (beam, V)
+        cand = scores[:, None] + logp  # (beam, V)
+        scores, flat = jax.lax.top_k(cand.reshape(-1), beam)
+        src = flat // cfg.vocab  # surviving beam each came from
+        tok = (flat % cfg.vocab).astype(jnp.int32)
+        cache = _reindex_cache(cache, src)
+        toks = toks[src].at[:, i].set(tok)
+        return (tok, scores, cache, toks), None
+
+    (_, scores, _, toks), _ = jax.lax.scan(
+        step, (tok, scores, cache, toks), jnp.arange(1, steps)
+    )
+    return toks, scores
 
 
 @functools.partial(

@@ -344,3 +344,36 @@ def test_fork_cache_prefix_caching():
 
     with pytest.raises(ValueError, match="batch-1"):
         fork_cache(forked, 2)
+
+
+def test_beam_search():
+    from smmb_tpu.models.lm import generate_beam
+
+    cfg = TernaryLMConfig(
+        vocab=64, d_model=128, n_heads=2, d_ff=256, n_layers=2, max_len=32
+    )
+    packed = pack_lm(init_lm(jax.random.PRNGKey(80), cfg))
+    prompt = jax.random.randint(jax.random.PRNGKey(81), (1, 8), 0, cfg.vocab)
+
+    # beam=1 reduces exactly to greedy generate
+    greedy = generate(packed, prompt, cfg, steps=8, use_kernel=False)
+    b1, s1 = generate_beam(
+        packed, prompt, cfg, steps=8, beam=1, use_kernel=False
+    )
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(greedy))
+
+    # beam=4: scores sorted best-first; best beam scores >= greedy's path
+    b4, s4 = generate_beam(
+        packed, prompt, cfg, steps=8, beam=4, use_kernel=False
+    )
+    s4 = np.asarray(s4)
+    assert b4.shape == (4, 8) and np.all(np.diff(s4) <= 1e-6)
+    assert s4[0] >= float(s1[0]) - 1e-5  # wider beam never scores worse
+
+    import pytest
+
+    with pytest.raises(ValueError, match="batch-1"):
+        generate_beam(
+            packed, jnp.zeros((2, 4), jnp.int32), cfg, steps=4,
+            use_kernel=False,
+        )
