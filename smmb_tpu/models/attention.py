@@ -353,11 +353,20 @@ def _split_heads(x, cfg: TernaryAttentionConfig, heads: int | None = None):
 def _proj(packed, name, inp, cfg, compute_dtype, use_kernel):
     w, b = packed[name], packed[name.replace("w", "b")]
     s = packed.get(name + "_scale")
+    raw = inp
     if s is not None:
         inp = inp * s
     if use_kernel:
-        return packed_spmm(inp, w, b, compute_dtype=compute_dtype)
-    return packed_spmm_jnp(inp, w, b, dtype=compute_dtype)
+        y = packed_spmm(inp, w, b, compute_dtype=compute_dtype)
+    else:
+        y = packed_spmm_jnp(inp, w, b, dtype=compute_dtype)
+    lora = packed.get(name + "_lora")
+    if lora is not None:
+        # low-rank residual on the frozen 2-bit base (models/lora.py):
+        # y += scale · (x A) B — the adapter sees the raw layer input
+        a, bb, sc = lora
+        y = y + jnp.matmul(jnp.matmul(raw, a), bb) * sc
+    return y
 
 
 def attention_prefill(

@@ -147,8 +147,20 @@ def init_block_cache(
 
 def _mlp_half(packed, x, cfg, spmm):
     h = rmsnorm(x, packed["norm2"], cfg.eps)
-    up = spmm(h, packed["w_up"], packed["s_up"], packed["b_up"], cfg.alpha)
+    up_lora = packed.get("w_up_lora")
+    if up_lora is None:
+        up = spmm(h, packed["w_up"], packed["s_up"], packed["b_up"], cfg.alpha)
+    else:
+        # adapter adds pre-activation, so the PReLU epilogue can't stay
+        # fused in the kernel — base runs epilogue-free, PReLU after
+        a, b_, sc = up_lora
+        pre = spmm(h, packed["w_up"], packed["s_up"], packed["b_up"])
+        up = prelu(pre + jnp.matmul(jnp.matmul(h, a), b_) * sc, cfg.alpha)
     down = spmm(up, packed["w_down"], packed["s_down"], packed["b_down"])
+    dn_lora = packed.get("w_down_lora")
+    if dn_lora is not None:
+        a, b_, sc = dn_lora
+        down = down + jnp.matmul(jnp.matmul(up, a), b_) * sc
     return x + down
 
 

@@ -1,0 +1,103 @@
+"""LoRA adapters over the frozen 2-bit base.
+
+Contracts: zero-B attach is an exact no-op; training moves only the
+adapters (base planes bit-identical) and reduces loss; adapted models
+serve through every path (kernel parity, generate, decode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smmb_tpu.models.lm import (
+    TernaryLMConfig, generate, init_lm, lm_forward, pack_lm,
+)
+from smmb_tpu.models.lora import attach_lora, init_lora_lm, make_lora_train_step
+
+CFG = TernaryLMConfig(
+    vocab=64, d_model=128, n_heads=2, d_ff=256, n_layers=2, max_len=32,
+    n_kv_heads=1,
+)
+
+
+def _setup(seed=0):
+    packed = pack_lm(init_lm(jax.random.PRNGKey(seed), CFG))
+    toks = jax.random.randint(
+        jax.random.PRNGKey(seed + 1), (4, 16), 0, CFG.vocab
+    )
+    return packed, toks
+
+
+def test_zero_adapter_is_noop():
+    packed, toks = _setup(1)
+    adapters = init_lora_lm(
+        jax.random.PRNGKey(2), CFG, rank=4,
+        targets=("wq", "wv", "wo", "w_up", "w_down"),
+    )
+    base = lm_forward(packed, toks, CFG, use_kernel=False)
+    adapted = lm_forward(
+        attach_lora(packed, adapters), toks, CFG, use_kernel=False
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(adapted))
+
+
+def test_lora_trains_and_base_is_frozen():
+    packed, toks = _setup(3)
+    adapters = init_lora_lm(
+        jax.random.PRNGKey(4), CFG, rank=4, targets=("wq", "wv", "w_up")
+    )
+    base_planes = [np.asarray(b["attn"]["wq"].data) for b in packed["blocks"]]
+
+    init_opt, step = make_lora_train_step(packed, CFG, learning_rate=5e-3)
+    opt = init_opt(adapters)
+    jstep = jax.jit(step)
+    losses = []
+    for _ in range(8):
+        adapters, opt, loss = jstep(adapters, opt, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+    # the 2-bit base never moved
+    for b, before in zip(packed["blocks"], base_planes):
+        np.testing.assert_array_equal(np.asarray(b["attn"]["wq"].data), before)
+
+    # the trained adapter changes the forward; B actually moved off zero
+    y0 = lm_forward(packed, toks, CFG, use_kernel=False)
+    y1 = lm_forward(
+        attach_lora(packed, adapters), toks, CFG, use_kernel=False
+    )
+    assert float(jnp.max(jnp.abs(y1 - y0))) > 1e-3
+
+
+def test_lora_serves_through_kernel_and_generate():
+    packed, toks = _setup(5)
+    adapters = init_lora_lm(
+        jax.random.PRNGKey(6), CFG, rank=4, targets=("wq", "wv", "w_down")
+    )
+    # make the adapters nonzero without training
+    adapters = jax.tree.map(lambda a: a + 0.01, adapters)
+    model = attach_lora(packed, adapters)
+
+    yk = lm_forward(model, toks, CFG, use_kernel=True)
+    yj = lm_forward(model, toks, CFG, use_kernel=False)
+    rel = float(jnp.max(jnp.abs(yk - yj)) / jnp.max(jnp.abs(yj)))
+    assert rel < 2e-5, rel
+
+    # full generate (prefill + KV decode) runs with adapters attached and
+    # differs from the base model's generation
+    g_base = generate(packed, toks[:1, :8], CFG, steps=6, use_kernel=False)
+    g_lora = generate(model, toks[:1, :8], CFG, steps=6, use_kernel=False)
+    assert g_lora.shape == g_base.shape
+    # decode-vs-forward consistency: greedy tokens follow the adapted
+    # forward's argmax at step 0
+    full = lm_forward(model, toks[:1, :8], CFG, use_kernel=False)
+    assert int(g_lora[0, 0]) == int(jnp.argmax(full[0, -1]))
+
+
+def test_lora_rejects_bad_targets_and_mismatch():
+    packed, _ = _setup(7)
+    with pytest.raises(ValueError, match="unknown LoRA target"):
+        init_lora_lm(jax.random.PRNGKey(8), CFG, targets=("nope",))
+    ad = init_lora_lm(jax.random.PRNGKey(9), CFG)
+    with pytest.raises(ValueError, match="adapter blocks"):
+        attach_lora(packed, ad[:1])
