@@ -44,6 +44,7 @@ from smmb_tpu.models.lm import (
     TernaryLMConfig,
     lm_decode_step,
     lm_extend,
+    lm_forward,
     lm_init_cache,
     lm_prefill,
 )
@@ -52,6 +53,57 @@ from smmb_tpu.models.lm import (
 def _set_pos(cache: list, pos) -> list:
     """Rewind every block cache to ``pos`` consumed tokens."""
     return [{**c, "pos": pos} for c in cache]
+
+
+def make_draft_distill_step(
+    target: dict,
+    target_cfg: TernaryLMConfig,
+    draft_cfg: TernaryLMConfig,
+    learning_rate: float = 1e-3,
+    temperature: float = 2.0,
+):
+    """(init_opt, distill_step) training a draft's MASTERS to imitate the
+    packed target — the step that makes speculative decoding pay off (a
+    random draft gets ~1/vocab acceptance; a distilled draft tracks the
+    target's argmax where it matters).
+
+    ``distill_step(draft_params, opt_state, tokens) -> (params, opt,
+    loss)``: soft cross-entropy at ``temperature`` between the frozen
+    target's logits (jnp packed path, constant) and the draft's STE
+    forward — so the trained masters pack straight into the 2-bit serving
+    draft via ``pack_lm(quantize=True)``. Vocabularies must match.
+    """
+    import optax
+
+    from smmb_tpu.models.lm import qat_lm_forward
+
+    if target_cfg.vocab != draft_cfg.vocab:
+        raise ValueError(
+            f"vocab mismatch: target {target_cfg.vocab} vs draft "
+            f"{draft_cfg.vocab}"
+        )
+    tx = optax.adam(learning_rate)
+    inv_t = 1.0 / temperature
+
+    def loss_fn(draft_params, tokens):
+        t_logits = jax.lax.stop_gradient(
+            lm_forward(target, tokens, target_cfg, use_kernel=False)
+        )
+        d_logits = qat_lm_forward(draft_params, tokens, draft_cfg)
+        p = jax.nn.softmax(t_logits * inv_t, axis=-1)
+        logq = jax.nn.log_softmax(d_logits * inv_t, axis=-1)
+        return -jnp.mean(jnp.sum(p * logq, axis=-1))
+
+    def init_opt(params):
+        return tx.init(params)
+
+    def distill_step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_opt, distill_step
 
 
 @functools.partial(

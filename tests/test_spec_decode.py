@@ -81,3 +81,59 @@ def test_spec_rejects_batch_and_overflow():
             target, draft, jnp.zeros((1, 8), jnp.int32), TARGET, DRAFT,
             steps=60, use_kernel=False,
         )
+
+
+def test_draft_distillation_improves_agreement():
+    """Distilling the draft toward the target reduces the soft-CE loss
+    and raises greedy agreement with the target on held-out prompts."""
+    from smmb_tpu.models.lm import lm_forward, pack_lm as _pack
+    from smmb_tpu.models.spec_decode import make_draft_distill_step
+
+    target, _ = _models(50)
+    draft_params = init_lm(jax.random.PRNGKey(51), DRAFT)
+    draft_params = jax.tree.map(lambda a: a + 0.01, draft_params)
+    toks = jax.random.randint(jax.random.PRNGKey(52), (8, 16), 0, 64)
+
+    init_opt, step = make_draft_distill_step(
+        target, TARGET, DRAFT, learning_rate=5e-3
+    )
+    opt = init_opt(draft_params)
+    jstep = jax.jit(step)
+
+    def agreement(params):
+        t = jnp.argmax(lm_forward(target, toks, TARGET, use_kernel=False), -1)
+        packed_d = _pack(params, quantize=True)
+        d = jnp.argmax(lm_forward(packed_d, toks, DRAFT, use_kernel=False), -1)
+        return float(jnp.mean(t == d))
+
+    a0 = agreement(draft_params)
+    losses = []
+    for _ in range(20):
+        draft_params, opt, loss = jstep(draft_params, opt, toks)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], f"distill loss did not decrease: {losses}"
+    a1 = agreement(draft_params)
+    assert a1 > a0, f"argmax agreement did not improve: {a0} -> {a1}"
+
+    # the distilled draft packs and drives spec decode; output stays
+    # token-identical to target greedy (drafts never change WHAT)
+    packed_d = _pack(draft_params, quantize=True)
+    prompt = toks[:1, :8]
+    want = generate(target, prompt, TARGET, steps=10, use_kernel=False)
+    got = generate_speculative(
+        target, packed_d, prompt, TARGET, DRAFT, steps=10, k=3,
+        use_kernel=False,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_distill_rejects_vocab_mismatch():
+    import dataclasses
+
+    from smmb_tpu.models.spec_decode import make_draft_distill_step
+
+    target, _ = _models(60)
+    with pytest.raises(ValueError, match="vocab"):
+        make_draft_distill_step(
+            target, TARGET, dataclasses.replace(DRAFT, vocab=32)
+        )
