@@ -527,11 +527,86 @@ def attention_extend(
     return y, cache
 
 
+def attention_math_chunked(
+    q, k, v, cfg: TernaryAttentionConfig, chunk: int = 512, precision=None
+):
+    """Memory-efficient attention for long-context TRAINING (the
+    differentiable analog of the flash kernel; Rabe & Staats' recipe).
+
+    Same (B, T, D) → (B, T, D) contract as ``_attention_math``, but the
+    (T, T) score tensor never materializes: a ``lax.scan`` over KV chunks
+    carries the online softmax (m, l, acc), and the scan body is
+    ``jax.checkpoint``-ed, so the BACKWARD pass recomputes each chunk's
+    scores instead of storing them — O(T·chunk) peak memory forward and
+    backward. Autodiff just works (pure jnp); use for QAT at context
+    lengths where the einsum path's T² residuals would not fit.
+    """
+    b, t, d = q.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+    kvh = cfg.kv_heads
+    g = h // kvh
+    if t % chunk:
+        raise ValueError(f"T={t} % chunk={chunk} != 0")
+    q, k = _rope_qk(q, k, cfg, jnp.arange(t))
+    scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+
+    qg = q.reshape(b, t, kvh, g, hd).transpose(0, 2, 3, 1, 4)
+    kh = k.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
+    n = t // chunk
+    kc = kh.reshape(b, kvh, n, chunk, hd).transpose(2, 0, 1, 3, 4)
+    vc = vh.reshape(b, kvh, n, chunk, hd).transpose(2, 0, 1, 3, 4)
+    q_pos = jnp.arange(t)
+
+    @jax.checkpoint
+    def body(carry, inp):
+        m, l, acc = carry
+        kb, vb, i = inp
+        scores = jnp.einsum(
+            "bkgqd,bktd->bkgqt", qg, kb,
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * scale  # (B, KVH, G, T, chunk)
+        k_pos = i * chunk + jnp.arange(chunk)
+        live = jnp.ones((t, chunk), bool)
+        if cfg.causal:
+            live = q_pos[:, None] >= k_pos[None, :]
+        if cfg.window is not None:
+            live = jnp.logical_and(
+                live, q_pos[:, None] - k_pos[None, :] < cfg.window
+            )
+        scores = jnp.where(live[None, None, None], scores, -1e30)
+        m_new = jnp.maximum(m, scores.max(axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(scores - m_new[..., None])
+        l = l * alpha + p.sum(axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bkgqt,bktd->bkgqd", p, vb.astype(jnp.float32),
+            precision=precision,
+        )
+        return (m_new, l, acc), None
+
+    m0 = jnp.full((b, kvh, g, t), -1e30, jnp.float32)
+    l0 = jnp.zeros((b, kvh, g, t), jnp.float32)
+    a0 = jnp.zeros((b, kvh, g, t, hd), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        body, (m0, l0, a0), (kc, vc, jnp.arange(n))
+    )
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    return (
+        out.transpose(0, 3, 1, 2, 4).reshape(b, t, d).astype(q.dtype)
+    )
+
+
 def qat_attention_forward(
-    params: dict, x: jax.Array, cfg: TernaryAttentionConfig
+    params: dict,
+    x: jax.Array,
+    cfg: TernaryAttentionConfig,
+    attn_chunk: int | None = None,
 ) -> jax.Array:
     """Training forward: STE-ternarized dense projections (differentiable),
-    mirroring the serving math like models/train.qat_forward."""
+    mirroring the serving math like models/train.qat_forward.
+    ``attn_chunk`` switches the attention math to the memory-efficient
+    scan (attention_math_chunked) for long-context training."""
 
     def proj(name, inp):
         w = params[name]
@@ -544,5 +619,8 @@ def qat_attention_forward(
     q = proj("wq", x)
     k = proj("wk", x)
     v = proj("wv", x)
-    att = _attention_math(q, k, v, cfg)
+    if attn_chunk is None:
+        att = _attention_math(q, k, v, cfg)
+    else:
+        att = attention_math_chunked(q, k, v, cfg, chunk=attn_chunk)
     return proj("wo", att)

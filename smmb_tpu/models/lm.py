@@ -367,19 +367,23 @@ def lm_decode_step(
 
 
 def qat_lm_forward(
-    params: dict, tokens: jax.Array, cfg: TernaryLMConfig
+    params: dict,
+    tokens: jax.Array,
+    cfg: TernaryLMConfig,
+    attn_chunk: int | None = None,
 ) -> jax.Array:
     """Training forward on master weights: STE-ternarized blocks + head
     (differentiable); embeddings, positions, and norm gains train dense.
     Mirrors ``lm_forward``'s serving math so ``pack_lm(quantize=True)``
-    serves exactly what was trained."""
+    serves exactly what was trained. ``attn_chunk`` = memory-efficient
+    attention (O(T·chunk) instead of O(T²) residuals; long contexts)."""
     from smmb_tpu.models.train import absmean_scale, ternarize_ste
     from smmb_tpu.models.transformer import qat_block_forward
 
     b, t = tokens.shape
     x = params["embed"][tokens] + params["pos"][None, :t]
     for blk in params["blocks"]:
-        x = qat_block_forward(blk, x, cfg.block)
+        x = qat_block_forward(blk, x, cfg.block, attn_chunk=attn_chunk)
     h = rmsnorm(x, params["norm_f"], cfg.eps)
     w = params["head"]
     wq = ternarize_ste(w) * absmean_scale(w)
@@ -390,6 +394,7 @@ def make_lm_train_step(
     cfg: TernaryLMConfig,
     learning_rate: float = 1e-3,
     accum_steps: int = 1,
+    attn_chunk: int | None = None,
 ):
     """(init_opt, train_step) for next-token cross-entropy on the ternary LM.
 
@@ -411,7 +416,7 @@ def make_lm_train_step(
     tx = optax.adam(learning_rate)
 
     def loss_fn(params, tokens):
-        logits = qat_lm_forward(params, tokens, cfg)
+        logits = qat_lm_forward(params, tokens, cfg, attn_chunk=attn_chunk)
         return optax.softmax_cross_entropy_with_integer_labels(
             logits[:, :-1], tokens[:, 1:]
         ).mean()

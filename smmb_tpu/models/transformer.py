@@ -175,18 +175,24 @@ def _make_spmm(compute_dtype, use_kernel):
 
 
 def qat_block_forward(
-    params: dict, x: jax.Array, cfg: TernaryBlockConfig
+    params: dict,
+    x: jax.Array,
+    cfg: TernaryBlockConfig,
+    attn_chunk: int | None = None,
 ) -> jax.Array:
     """Training forward on the master weights: STE-ternarized projections
     (differentiable), mirroring the serving math exactly — the trained
     pytree packs to the serving form via ``pack_block(quantize=True)``.
+    ``attn_chunk``: memory-efficient attention for long-context training.
     """
     from smmb_tpu.models.attention import qat_attention_forward
     from smmb_tpu.models.train import absmean_scale, ternarize_ste
     from smmb_tpu.ops.dense import prelu
 
     h = rmsnorm(x, params["norm1"], cfg.eps)
-    x = x + qat_attention_forward(params["attn"], h, cfg.attn)
+    x = x + qat_attention_forward(
+        params["attn"], h, cfg.attn, attn_chunk=attn_chunk
+    )
 
     def qlin(inp, w, b):
         wq = ternarize_ste(w) * absmean_scale(w)
