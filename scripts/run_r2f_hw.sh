@@ -10,11 +10,14 @@ export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 mkdir -p bench_out
 
 run() { # name timeout cmd...
-  local name=$1 to=$2; shift 2
+  local name=$1 to=$2 rc; shift 2
   echo "=== $name ($(date +%T)) ===" | tee -a bench_out/r2f_hw.log
-  timeout "$to" "$@" 2>&1 | grep -v WARNING | tee bench_out/"$name".txt \
-    | tail -20
-  echo "--- $name exit=$? ---" | tee -a bench_out/r2f_hw.log
+  # capture the COMMAND's status, not the filter pipeline's (tee|tail
+  # always exit 0 — a crash or timeout must not be logged as success)
+  timeout "$to" "$@" > bench_out/"$name".txt 2>&1
+  rc=$?
+  grep -v WARNING bench_out/"$name".txt | tail -20
+  echo "--- $name exit=$rc (124=timeout) ---" | tee -a bench_out/r2f_hw.log
 }
 
 # 1) flash kernel: on-chip parity vs f64 oracle + timing point

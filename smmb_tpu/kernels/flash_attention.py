@@ -148,6 +148,7 @@ def _flash_kernel(
         "block_q",
         "block_kv",
         "interpret",
+        "precision",
     ),
 )
 def flash_attention(
@@ -161,6 +162,7 @@ def flash_attention(
     block_q: int | None = None,
     block_kv: int | None = None,
     interpret: bool | None = None,
+    precision=None,
 ) -> jax.Array:
     """Scaled dot-product attention without materializing T×S scores.
 
@@ -227,11 +229,13 @@ def flash_attention(
             return (bh // g, si, 0)
 
     kv_spec = pl.BlockSpec((1, bs, hp), kv_index, memory_space=pltpu.VMEM)
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if q.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    if precision is None:
+        # f32 inputs would silently demote to single-pass bf16 on the MXU
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
 
     out = pl.pallas_call(
         functools.partial(

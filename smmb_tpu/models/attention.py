@@ -188,7 +188,8 @@ def _attention_math(
         kh = k.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
         vh = v.reshape(b, t, kvh, hd).transpose(0, 2, 1, 3)
         out = flash_attention(
-            qh, kh, vh, causal=cfg.causal, window=cfg.window
+            qh, kh, vh, causal=cfg.causal, window=cfg.window,
+            precision=precision,
         )
         return out.transpose(0, 2, 1, 3).reshape(b, t, d)
 
@@ -278,15 +279,16 @@ def init_kv_cache(
     (all rows end at the same buffer index), which is what lets one
     scalar ``pos`` serve a ragged batch."""
     shape = (batch, max_len, cfg.kv_heads, cfg.head_dim)
+    # build the int8 buffers directly — allocating f32 first and replacing
+    # would spike transient HBM 4x at exactly the sizes kv-quant targets
+    kv_dtype = jnp.int8 if quantized else dtype
     cache = {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
+        "k": jnp.zeros(shape, kv_dtype),
+        "v": jnp.zeros(shape, kv_dtype),
         "pos": jnp.int32(0),
     }
     if quantized:
         sshape = shape[:-1] + (1,)
-        cache["k"] = jnp.zeros(shape, jnp.int8)
-        cache["v"] = jnp.zeros(shape, jnp.int8)
         cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
         cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
     if ragged:
@@ -570,10 +572,12 @@ def attention_math_chunked(
         live = jnp.ones((t, chunk), bool)
         if cfg.causal:
             live = q_pos[:, None] >= k_pos[None, :]
-        if cfg.window is not None:
-            live = jnp.logical_and(
-                live, q_pos[:, None] - k_pos[None, :] < cfg.window
-            )
+            if cfg.window is not None:
+                # window applies under causal only — mirroring the
+                # serving einsum path exactly (QAT must train what serves)
+                live = jnp.logical_and(
+                    live, q_pos[:, None] - k_pos[None, :] < cfg.window
+                )
         scores = jnp.where(live[None, None, None], scores, -1e30)
         m_new = jnp.maximum(m, scores.max(axis=-1))
         alpha = jnp.exp(m - m_new)

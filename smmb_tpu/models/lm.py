@@ -223,8 +223,16 @@ def lm_extend(
 
     The multi-token generalization of ``lm_decode_step`` (and the building
     block of chunked prefill and speculative-decode verification): each
-    chunk token attends the cache plus its chunk prefix."""
+    chunk token attends the cache plus its chunk prefix.
+
+    The caller owns the capacity budget (the cache position is dynamic, so
+    it cannot be checked at trace time): appending past ``cfg.max_len``
+    would clamp the cache write and silently corrupt earlier entries —
+    size prompts + steps against ``max_len`` up front the way ``generate``
+    and ``generate_speculative`` do."""
     b, c = tokens.shape
+    if c > cfg.max_len:
+        raise ValueError(f"chunk {c} exceeds max_len={cfg.max_len}")
     pos = cache[0]["pos"]
     pe = jax.lax.dynamic_slice(
         packed["pos"], (pos, 0), (c, packed["pos"].shape[1])
@@ -263,12 +271,19 @@ def lm_prefill_chunked(
     each attending over the cache filled so far (models/attention.
     attention_extend) — same result as ``lm_prefill`` with O(B·C·D) peak
     activation memory instead of O(B·T·D) (and no T×T score tensor), for
-    prompts too long to prefill in one shot. T % chunk must be 0 (pad the
-    prompt; the cache position only advances by real tokens fed in).
+    prompts too long to prefill in one shot. T % chunk must be 0: pick a
+    chunk that divides T (every fed token is cached as a real token —
+    there is NO pad masking on this path; ragged prompts go through
+    ``lm_prefill(prompt_mask=...)``).
     Returns (last-position logits (B, vocab), filled cache)."""
     b, t = tokens.shape
     if t % chunk:
         raise ValueError(f"prompt length {t} not divisible by chunk {chunk}")
+    if t > cfg.max_len:
+        raise ValueError(
+            f"prompt length {t} exceeds max_len={cfg.max_len} — the cache "
+            "write would clamp and silently corrupt earlier entries"
+        )
     chunks = tokens.reshape(b, t // chunk, chunk).transpose(1, 0, 2)
 
     def body(cache, toks_c):

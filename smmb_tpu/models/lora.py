@@ -13,9 +13,13 @@ MXU barely notices.
 
 Mechanically, adapters ATTACH INTO the packed pytree as ``<name>_lora``
 entries (models/attention._proj and models/transformer._mlp_half look
-them up), so every serving path — forward, prefill, chunked prefill, KV
-decode, generate, beam search, speculative decoding — picks them up with
-zero API changes: an adapted model is just another packed pytree.
+them up), so every SINGLE-DEVICE serving path — forward, prefill, chunked
+prefill, KV decode, generate, beam search, speculative decoding — picks
+them up with zero API changes: an adapted model is just another packed
+pytree. The mesh-sharded paths (tp_transformer/sp_block) flatten packed
+dicts through fixed key lists and do not carry adapters yet — their
+partitioners REJECT adapted models rather than silently serving the
+frozen base.
 
 Training differentiates ONLY the adapters: the base forward runs the jnp
 packed path (exact same math the kernel serves, differentiable w.r.t.

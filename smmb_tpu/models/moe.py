@@ -136,8 +136,11 @@ def route_topk(router_logits: jax.Array, capacity: int, k: int):
     """Top-k dispatch/combine tensors from (N, E) logits (GShard-style).
 
     Each token routes to its k highest-gate experts with the gates
-    renormalized over the chosen k (the Mixtral recipe; k=1 reduces to
-    ``route_top1`` up to that renormalization — a no-op at k=1). Slot
+    renormalized over the chosen k (the Mixtral recipe). NOTE: at k=1 the
+    renormalization forces every combine weight to 1.0, which is NOT
+    ``route_top1``'s semantics (Switch scales by the raw gate probability,
+    keeping the router in the gradient path) — that is why ``_route``
+    dispatches k=1 to ``route_top1``. Slot
     assignment is rank-major: every token's rank-0 choice claims expert
     slots first, then rank-1, ... — lower-rank (higher-gate) assignments
     survive capacity pressure, matching GShard's priority semantics.

@@ -33,6 +33,12 @@ from smmb_tpu.parallel.sharded import _local_spmm
 def _block_arrs_specs(packed: dict):
     """Flatten a pack_block dict to (arrays, replicated specs) for
     shard_map (TernaryPacked planes enter as raw data; all replicated)."""
+    keys = list(packed) + list(packed["attn"])
+    if any(k.endswith("_lora") for k in keys):
+        raise ValueError(
+            "LoRA adapters are not supported on the sequence-parallel "
+            "path yet — serve adapted models through the single-device API"
+        )
     a = packed["attn"]
     arrs = {
         "norm1": packed["norm1"], "norm2": packed["norm2"],

@@ -59,6 +59,7 @@ def shard_block_tp(packed: dict, mesh: Mesh) -> dict:
     column-layer biases follow their columns, row-layer biases and the
     norm gains replicate.
     """
+    _reject_lora(packed)
     a = packed["attn"]
     col_b = NamedSharding(mesh, P(MODEL_AXIS))
     repl = NamedSharding(mesh, P())
@@ -88,8 +89,21 @@ def shard_block_tp(packed: dict, mesh: Mesh) -> dict:
     }
 
 
+def _reject_lora(packed: dict) -> None:
+    """TP flattens packed dicts through fixed key lists; silently dropping
+    ``*_lora`` adapters would serve the frozen base — refuse instead."""
+    keys = list(packed) + list(packed.get("attn", ()))
+    if any(k.endswith("_lora") for k in keys):
+        raise ValueError(
+            "LoRA adapters are not supported on the tensor-parallel path "
+            "yet — serve adapted models through the single-device API"
+        )
+
+
 def _block_arrs_specs(packed: dict):
-    """Flatten a (sharded) packed block into (arrays, shard_map specs)."""
+    """Flatten a (sharded) packed block into (arrays, shard_map specs).
+    Rejects LoRA-adapted dicts (the fixed key list would drop adapters)."""
+    _reject_lora(packed)
     a = packed["attn"]
     arrs = {
         "wq": a["wq"].data, "wk": a["wk"].data, "wv": a["wv"].data,

@@ -101,3 +101,23 @@ def test_lora_rejects_bad_targets_and_mismatch():
     ad = init_lora_lm(jax.random.PRNGKey(9), CFG)
     with pytest.raises(ValueError, match="adapter blocks"):
         attach_lora(packed, ad[:1])
+
+
+def test_lora_rejected_on_sharded_paths():
+    """TP/SP partitioners refuse adapted models instead of silently
+    serving the frozen base."""
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.sp_block import block_forward_sp
+    from smmb_tpu.parallel.tp_transformer import shard_block_tp
+
+    packed, _ = _setup(9)
+    adapters = init_lora_lm(jax.random.PRNGKey(10), CFG, rank=2)
+    model = attach_lora(packed, adapters)
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        shard_block_tp(model["blocks"][0], mesh)
+    x = jnp.zeros((1, 4, CFG.d_model))
+    with pytest.raises(ValueError, match="sequence-parallel"):
+        block_forward_sp(
+            model["blocks"][0], x, CFG.block, mesh=mesh, use_kernel=False
+        )
