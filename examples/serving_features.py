@@ -102,3 +102,24 @@ ragged = generate(packed, batch, cfg, 8, prompt_mask=mask, **kw)
 solo = generate(packed, pa, cfg, 8, **kw)
 print("ragged row 0 == its solo run:",
       bool(jnp.array_equal(ragged[0], solo[0])))
+
+# LoRA: fine-tune adapters on the frozen 2-bit base (3 steps for show)
+from smmb_tpu.models.lora import (
+    attach_lora, init_lora_lm, make_lora_train_step,
+)
+
+adapters = init_lora_lm(jax.random.PRNGKey(7), cfg, rank=4)
+init_opt, lstep = make_lora_train_step(packed, cfg, learning_rate=5e-3)
+opt = init_opt(adapters)
+ltoks = jax.random.randint(jax.random.PRNGKey(8), (4, 24), 0, cfg.vocab)
+jstep = jax.jit(lstep)
+l0 = ln = None
+for _ in range(3):
+    adapters, opt, loss = jstep(adapters, opt, ltoks)
+    l0, ln = (l0 if l0 is not None else float(loss)), float(loss)
+print(f"LoRA adapters: loss {l0:.3f} -> {ln:.3f}; "
+      "2-bit base untouched; serve via attach_lora(packed, adapters)")
+adapted = attach_lora(packed, adapters)
+print("adapted greedy:", np.asarray(
+    generate(adapted, prompt, cfg, 8, **kw)
+)[0])
