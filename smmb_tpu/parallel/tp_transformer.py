@@ -36,6 +36,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from smmb_tpu.models.attention import (
     _attention_math,
+    _cache_kv,
+    _cache_write,
     _decode_attention_math,
     apply_rope,
 )
@@ -241,10 +243,14 @@ def init_block_cache_tp(
     max_len: int,
     mesh: Mesh,
     dtype=jnp.float32,
+    quantized: bool = False,
 ) -> dict:
     """KV cache for one TP block: (B, max_len, H, hd) sharded over the
     model axis on the *heads* dim — each shard caches only the heads it
-    owns, so decode attention stays collective-free."""
+    owns, so decode attention stays collective-free. ``quantized=True``
+    stores int8 codes + per-(token, head) absmax scales, sharded like the
+    codes (see models/attention.init_kv_cache) — decode cache reads are
+    the TP serving bottleneck and shrink 4×/2× vs f32/bf16."""
     ms = _model_size(mesh)
     if cfg.attn.n_heads % ms or cfg.attn.kv_heads % ms:
         raise ValueError(
@@ -253,18 +259,28 @@ def init_block_cache_tp(
         )
     shape = (batch, max_len, cfg.attn.kv_heads, cfg.attn.head_dim)
     sh = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS, None))
-    return {
-        "k": jax.device_put(jnp.zeros(shape, dtype), sh),
-        "v": jax.device_put(jnp.zeros(shape, dtype), sh),
+    kv_dtype = jnp.int8 if quantized else dtype
+    cache = {
+        "k": jax.device_put(jnp.zeros(shape, kv_dtype), sh),
+        "v": jax.device_put(jnp.zeros(shape, kv_dtype), sh),
         "pos": jax.device_put(jnp.int32(0), NamedSharding(mesh, P())),
     }
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        for n in ("k_scale", "v_scale"):
+            cache[n] = jax.device_put(jnp.zeros(sshape, jnp.float32), sh)
+    return cache
 
 
-_CACHE_SPECS = {
-    "k": P(DATA_AXIS, None, MODEL_AXIS, None),
-    "v": P(DATA_AXIS, None, MODEL_AXIS, None),
-    "pos": P(),
-}
+_KV_SPEC = P(DATA_AXIS, None, MODEL_AXIS, None)
+
+
+def _cache_specs(cache: dict) -> dict:
+    """Per-leaf shard_map specs for a TP cache dict (scales follow the
+    codes' head sharding; ``pos`` replicates)."""
+    return {
+        k: (P() if k == "pos" else _KV_SPEC) for k in cache
+    }
 
 
 def _qkv_local(
@@ -288,13 +304,16 @@ def _qkv_local(
 
 
 def _block_decode_body_tp(
-    d, x_t, kc, vc, pos, cfg, ms, compute_dtype, use_kernel, precision
+    d, x_t, cache, cfg, ms, compute_dtype, use_kernel, precision
 ):
-    """Per-device decode body: local-head cache attention + 2 psums."""
+    """Per-device decode body: local-head cache attention + 2 psums.
+    ``cache`` is the shard-local dict view; the write/read helpers from
+    models/attention handle the plain and int8-quantized layouts alike."""
     bl, one, dm = x_t.shape
     h_loc = cfg.attn.n_heads // ms
     kvh_loc = cfg.attn.kv_heads // ms
     hd = cfg.attn.head_dim
+    pos = cache["pos"]
 
     h = rmsnorm(x_t, d["norm1"], cfg.eps).reshape(bl, dm)
     q, k, v = _qkv_local(
@@ -303,12 +322,8 @@ def _block_decode_body_tp(
     if cfg.attn.rope:
         q = apply_rope(q, pos + jnp.arange(1), cfg.attn.rope_theta)
         k = apply_rope(k, pos + jnp.arange(1), cfg.attn.rope_theta)
-    kc = jax.lax.dynamic_update_slice(
-        kc, k.astype(kc.dtype), (0, pos, 0, 0)
-    )
-    vc = jax.lax.dynamic_update_slice(
-        vc, v.astype(vc.dtype), (0, pos, 0, 0)
-    )
+    cache = _cache_write(cache, k, v, pos)
+    kc, vc = _cache_kv(cache)
     att = _decode_attention_math(
         q, kc, vc, pos, hd, precision=precision, window=cfg.attn.window
     )
@@ -329,7 +344,7 @@ def _block_decode_body_tp(
         compute_dtype, use_kernel, cfg.d_ff // ms,
     )
     down = jax.lax.psum(part, MODEL_AXIS) + d["b_down"]
-    return x + down.reshape(bl, one, dm), kc, vc
+    return x + down.reshape(bl, one, dm), cache
 
 
 def block_decode_step_tp(
@@ -352,28 +367,21 @@ def block_decode_step_tp(
             f"n_kv_heads={cfg.attn.kv_heads} % model={ms} != 0"
         )
     arrs, specs = _block_arrs_specs(packed)
+    cspecs = _cache_specs(cache)
 
-    def body(d, x_l, kc, vc, pos):
-        y, kc, vc = _block_decode_body_tp(
-            d, x_l, kc, vc, pos, cfg, ms, compute_dtype, use_kernel,
-            precision,
+    def body(d, x_l, c):
+        return _block_decode_body_tp(
+            d, x_l, c, cfg, ms, compute_dtype, use_kernel, precision
         )
-        return y, kc, vc
 
-    y, kc, vc = jax.shard_map(
+    y, cache = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            specs, P(DATA_AXIS, None, None),
-            _CACHE_SPECS["k"], _CACHE_SPECS["v"], _CACHE_SPECS["pos"],
-        ),
-        out_specs=(
-            P(DATA_AXIS, None, None),
-            _CACHE_SPECS["k"], _CACHE_SPECS["v"],
-        ),
+        in_specs=(specs, P(DATA_AXIS, None, None), cspecs),
+        out_specs=(P(DATA_AXIS, None, None), cspecs),
         check_vma=False,  # pallas_call outputs carry no vma info yet
-    )(arrs, x_t, cache["k"], cache["v"], cache["pos"])
-    return y, {"k": kc, "v": vc, "pos": cache["pos"] + 1}
+    )(arrs, x_t, cache)
+    return y, cache
 
 
 def block_prefill_tp(
@@ -395,12 +403,14 @@ def block_prefill_tp(
             f"n_kv_heads={cfg.attn.kv_heads} % model={ms} != 0"
         )
     arrs, specs = _block_arrs_specs(packed)
+    cspecs = _cache_specs(cache)
 
-    def body(d, x_l, kc, vc, pos):
+    def body(d, x_l, c):
         bl, t, dm = x_l.shape
         h_loc = cfg.attn.n_heads // ms
         kvh_loc = cfg.attn.kv_heads // ms
         hd = cfg.attn.head_dim
+        pos = c["pos"]
         h = rmsnorm(x_l, d["norm1"], cfg.eps).reshape(bl * t, dm)
         q, k, v = _qkv_local(
             d, h, bl, t, h_loc, kvh_loc, hd, compute_dtype, use_kernel, dm
@@ -413,33 +423,22 @@ def block_prefill_tp(
             )
         else:
             k_cache = k
-        kc = jax.lax.dynamic_update_slice(
-            kc, k_cache.astype(kc.dtype), (0, pos, 0, 0)
-        )
-        vc = jax.lax.dynamic_update_slice(
-            vc, v.astype(vc.dtype), (0, pos, 0, 0)
-        )
+        c = _cache_write(c, k_cache, v, pos)
         # reuse the cache-fill projections for the forward itself
         y = _block_body_tp(
             d, x_l, cfg, ms, compute_dtype, use_kernel, precision,
             qkv=(q, k, v), use_flash=use_flash,
         )
-        return y, kc, vc
+        return y, c
 
-    y, kc, vc = jax.shard_map(
+    y, cache = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(
-            specs, P(DATA_AXIS, None, None),
-            _CACHE_SPECS["k"], _CACHE_SPECS["v"], _CACHE_SPECS["pos"],
-        ),
-        out_specs=(
-            P(DATA_AXIS, None, None),
-            _CACHE_SPECS["k"], _CACHE_SPECS["v"],
-        ),
+        in_specs=(specs, P(DATA_AXIS, None, None), cspecs),
+        out_specs=(P(DATA_AXIS, None, None), cspecs),
         check_vma=False,
-    )(arrs, x, cache["k"], cache["v"], cache["pos"])
-    return y, {"k": kc, "v": vc, "pos": cache["pos"] + x.shape[1]}
+    )(arrs, x, cache)
+    return y, cache
 
 
 # ---------------------------------------------------------------------------
@@ -525,10 +524,15 @@ def _head_logits_tp(packed, h, cfg, mesh, compute_dtype, use_kernel):
     )
 
 
-def lm_init_cache_tp(cfg, batch: int, mesh: Mesh, dtype=jnp.float32) -> list:
+def lm_init_cache_tp(
+    cfg, batch: int, mesh: Mesh, dtype=jnp.float32, quantized: bool = False
+) -> list:
     """Head-sharded KV caches for every block of a TP LM."""
     return [
-        init_block_cache_tp(cfg.block, batch, cfg.max_len, mesh, dtype=dtype)
+        init_block_cache_tp(
+            cfg.block, batch, cfg.max_len, mesh, dtype=dtype,
+            quantized=quantized,
+        )
         for _ in range(cfg.n_layers)
     ]
 
@@ -602,7 +606,7 @@ def lm_decode_step_tp(
     jax.jit,
     static_argnames=(
         "cfg", "steps", "mesh", "compute_dtype", "use_kernel", "precision",
-        "use_flash",
+        "use_flash", "kv_quant",
     ),
 )
 def generate_tp(
@@ -616,6 +620,7 @@ def generate_tp(
     use_kernel: bool = True,
     precision=None,
     use_flash: bool = False,
+    kv_quant: bool = False,
 ) -> jax.Array:
     """TP greedy generation: one jitted prefill + ``lax.scan`` of TP decode
     steps, KV caches head-sharded throughout (models/lm.generate over the
@@ -631,8 +636,11 @@ def generate_tp(
         compute_dtype=compute_dtype, use_kernel=use_kernel,
         precision=precision,
     )
-    # cache follows the serving dtype (halves decode cache traffic in bf16)
-    cache = lm_init_cache_tp(cfg, prompt.shape[0], mesh, dtype=compute_dtype)
+    # cache follows the serving dtype (halves decode cache traffic in
+    # bf16); kv_quant stores int8 codes + absmax scales instead (4x less)
+    cache = lm_init_cache_tp(
+        cfg, prompt.shape[0], mesh, dtype=compute_dtype, quantized=kv_quant
+    )
     logits, cache = lm_prefill_tp(
         packed, prompt, cache, cfg, mesh=mesh, use_flash=use_flash, **kw
     )

@@ -234,3 +234,26 @@ def test_generate_tp_flash_matches_plain():
         sharded, toks, cfg, 6, mesh=mesh, use_kernel=False, use_flash=True
     )
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(g1))
+
+
+def test_generate_tp_kv_quant_runs():
+    """int8 KV caches through the TP decode path (head-sharded codes +
+    scales, quantize/dequant via the shared attention helpers)."""
+    cfg = TernaryLMConfig(
+        vocab=256, d_model=1024, n_heads=4, d_ff=1024, n_layers=1, max_len=32
+    )
+    packed = pack_lm(init_lm(jax.random.PRNGKey(33), cfg))
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    sharded = shard_lm_tp(packed, mesh)
+    toks = jax.random.randint(jax.random.PRNGKey(34), (2, 8), 0, cfg.vocab)
+    out = generate_tp(
+        sharded, toks, cfg, 6, mesh=mesh, use_kernel=False, kv_quant=True
+    )
+    assert out.shape == (2, 6)
+    assert np.all((np.asarray(out) >= 0) & (np.asarray(out) < cfg.vocab))
+    # quantized TP cache really is int8 + sharded scales
+    from smmb_tpu.parallel.tp_transformer import lm_init_cache_tp
+
+    cache = lm_init_cache_tp(cfg, 2, mesh, quantized=True)
+    assert cache[0]["k"].dtype == jnp.int8
+    assert "k_scale" in cache[0]
