@@ -39,6 +39,8 @@ def run_lm_bench(
     temperature: float = 0.0,
     reps: int = 3,
     seed: int = 0,
+    kv_quant: bool = False,
+    use_flash: bool = False,
 ) -> LMBenchResult:
     """Per-token decode cost from calibrated device loops at two step
     counts: slope = (t(3·steps) − t(steps)) / (2·steps), cancelling the
@@ -49,7 +51,10 @@ def run_lm_bench(
     toks = jax.random.randint(
         jax.random.PRNGKey(seed + 1), (batch, prompt_len), 0, cfg.vocab
     )
-    kw = dict(compute_dtype=jnp.bfloat16, temperature=temperature)
+    kw = dict(
+        compute_dtype=jnp.bfloat16, temperature=temperature,
+        kv_quant=kv_quant, use_flash=use_flash,
+    )
     if temperature > 0:
         kw["key"] = jax.random.PRNGKey(seed + 2)
 
@@ -79,20 +84,30 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache (4x less decode read traffic)")
+    ap.add_argument("--flash", action="store_true",
+                    help="flash-attention prefill")
+    ap.add_argument("--rope", action="store_true")
+    ap.add_argument("--window", type=int, default=None)
     args = ap.parse_args(argv)
     cfg = TernaryLMConfig(
         vocab=args.vocab, d_model=args.d_model, n_heads=args.n_heads,
         d_ff=args.d_ff, n_layers=args.layers,
         max_len=args.prompt_len + 3 * args.steps,
-        n_kv_heads=args.kv_heads,
+        n_kv_heads=args.kv_heads, rope=args.rope, window=args.window,
     )
     r = run_lm_bench(
         cfg, args.batch, args.prompt_len, args.steps,
         temperature=args.temperature, reps=args.reps,
+        kv_quant=args.kv_quant, use_flash=args.flash,
     )
     print(
         f"lm-generate: layers={args.layers} d={args.d_model} ff={args.d_ff} "
         f"vocab={args.vocab} batch={args.batch} kv={cfg.block.attn.kv_heads}"
+        f"{' kvq' if args.kv_quant else ''}{' flash' if args.flash else ''}"
+        f"{' rope' if args.rope else ''}"
+        f"{f' win{args.window}' if args.window else ''}"
         f"  {r.per_token_s * 1e6:.1f}us/tok = {r.tokens_per_s:.0f} tok/s "
         f"(slope {args.steps}->{3 * args.steps} steps; "
         f"lo={r.lo_s * 1e3:.2f}ms hi={r.hi_s * 1e3:.2f}ms)"
