@@ -30,3 +30,6 @@ run spec_bench 1200 python -m smmb_tpu spec --steps 64 --k 4
 run lm_bench 900 python -m smmb_tpu lm --steps 64
 # 5) headline roofline sanity (bench.py prints the driver JSON line)
 run headline 900 python bench.py
+# 6) serving-feature decode deltas: int8 cache vs bf16 at long context
+run lm_kvq 900 python -m smmb_tpu lm --steps 64 --prompt-len 512 --kv-quant
+run lm_base_longctx 900 python -m smmb_tpu lm --steps 64 --prompt-len 512
