@@ -156,4 +156,43 @@ int omp_thread_count() {
 #endif
 }
 
+// --------------------------------------------------------------- data loader
+// Training-corpus batching (smmb_tpu/runtime/data.py): the corpus is a flat
+// uint32 token file the Python side memory-maps; the native layer supplies
+// the two hot host-side steps — a deterministic epoch permutation (seeded
+// splitmix64 Fisher-Yates; tens of millions of windows in milliseconds) and
+// the OpenMP window gather into the batch buffer (parallel strided copies
+// the GIL would otherwise serialize).
+
+static inline uint64_t splitmix64(uint64_t* s) {
+  uint64_t z = (*s += 0x9e3779b97f4a7c15ULL);
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+  return z ^ (z >> 31);
+}
+
+// out[0..n): a permutation of 0..n-1, deterministic in seed.
+void shuffle_offsets(int64_t n, uint64_t seed, int64_t* out) {
+  for (int64_t i = 0; i < n; ++i) out[i] = i;
+  uint64_t s = seed;
+  for (int64_t i = n - 1; i > 0; --i) {
+    int64_t j = (int64_t)(splitmix64(&s) % (uint64_t)(i + 1));
+    int64_t t = out[i];
+    out[i] = out[j];
+    out[j] = t;
+  }
+}
+
+// Gather b windows of w tokens each from the mmap'd corpus into out
+// (int32, row-major b*w). starts are element offsets (caller bounds them).
+void gather_windows(const uint32_t* corpus, const int64_t* starts,
+                    int64_t b, int64_t w, int32_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < b; ++i) {
+    const uint32_t* src = corpus + starts[i];
+    int32_t* dst = out + i * w;
+    for (int64_t t = 0; t < w; ++t) dst[t] = (int32_t)src[t];
+  }
+}
+
 }  // extern "C"

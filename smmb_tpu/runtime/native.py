@@ -74,6 +74,10 @@ def _lib() -> ctypes.CDLL | None:
         lib.bcsr_count.argtypes = [f32p, i64, i64, i64, i64, i32p, u8p]
         lib.bcsr_count.restype = i64
         lib.bcsr_fill.argtypes = [f32p, i64, i64, i64, i64, i32p, u8p, i32p, f32p]
+        u64 = ctypes.c_uint64
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.shuffle_offsets.argtypes = [i64, u64, i64p]
+        lib.gather_windows.argtypes = [u32p, i64p, i64, i64, i32p]
         _LIB = lib
         return _LIB
 
