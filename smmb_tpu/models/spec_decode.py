@@ -110,7 +110,7 @@ def make_draft_distill_step(
     jax.jit,
     static_argnames=(
         "target_cfg", "draft_cfg", "steps", "k",
-        "compute_dtype", "use_kernel", "precision",
+        "compute_dtype", "use_kernel", "precision", "use_flash",
     ),
 )
 def generate_speculative(
@@ -125,13 +125,15 @@ def generate_speculative(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """(1, T) prompt → (1, steps) greedy continuation of the TARGET model,
     computed with draft-proposed/target-verified rounds of k proposals.
 
     ``target`` / ``draft`` are packed LMs (pack_lm) sharing a vocabulary;
     the draft is typically a fraction of the target's size. Output is
-    token-identical to ``generate(target, ..., steps)``.
+    token-identical to ``generate(target, ..., steps)``. ``use_flash``
+    applies to the two prompt prefills (the verify chunks read the cache).
     """
     b, t = prompt.shape
     if b != 1:
@@ -150,8 +152,10 @@ def generate_speculative(
     )
     tc = lm_init_cache(target_cfg, 1, dtype=compute_dtype)
     dc = lm_init_cache(draft_cfg, 1, dtype=compute_dtype)
-    logits, tc = lm_prefill(target, prompt, tc, target_cfg, **kw)
-    _, dc = lm_prefill(draft, prompt, dc, draft_cfg, **kw)
+    logits, tc = lm_prefill(
+        target, prompt, tc, target_cfg, use_flash=use_flash, **kw
+    )
+    _, dc = lm_prefill(draft, prompt, dc, draft_cfg, use_flash=use_flash, **kw)
     tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1,)
 
     out = jnp.zeros((1, steps + k + 1), jnp.int32)
