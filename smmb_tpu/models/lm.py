@@ -60,9 +60,34 @@ class TernaryLMConfig:
     rope: bool = False  # rotary Q/K embeddings (composes with the learned
     rope_theta: float = 10000.0  # absolute positions, which stay on)
     window: int | None = None  # sliding-window attention; None = full causal
+    # n_experts switches every block's FFN to the routed ternary mixture
+    # (models/moe_block.py — the Switch/Mixtral architecture); d_ff becomes
+    # the per-expert width. None = dense MLP blocks.
+    n_experts: int | None = None
+    top_k: int = 1
+    capacity_factor: float = 1.25
 
     @property
-    def block(self) -> TernaryBlockConfig:
+    def block(self):
+        if self.n_experts is not None:
+            from smmb_tpu.models.moe_block import TernaryMoEBlockConfig
+
+            return TernaryMoEBlockConfig(
+                d_model=self.d_model,
+                n_heads=self.n_heads,
+                d_ff=self.d_ff,
+                n_experts=self.n_experts,
+                top_k=self.top_k,
+                capacity_factor=self.capacity_factor,
+                alpha=self.alpha,
+                causal=True,
+                non_zero=self.non_zero,
+                eps=self.eps,
+                n_kv_heads=self.n_kv_heads,
+                rope=self.rope,
+                rope_theta=self.rope_theta,
+                window=self.window,
+            )
         return TernaryBlockConfig(
             d_model=self.d_model,
             n_heads=self.n_heads,
@@ -77,13 +102,44 @@ class TernaryLMConfig:
             window=self.window,
         )
 
+    @property
+    def _blk(self):
+        """Block-function table: dense (transformer.py) or MoE
+        (moe_block.py) — same interface, selected by ``n_experts``; this
+        one indirection is what makes the entire serving stack (generate,
+        chunked prefill, beam, speculative decode, quantized/ragged
+        caches) architecture-agnostic."""
+        if self.n_experts is not None:
+            from smmb_tpu.models import moe_block as m
+
+            return {
+                "init": m.init_moe_block,
+                "pack": m.pack_moe_block,
+                "forward": m.moe_block_forward,
+                "prefill": m.moe_block_prefill,
+                "extend": m.moe_block_extend,
+                "decode": m.moe_block_decode_step,
+                "cache": m.init_moe_block_cache,
+            }
+        from smmb_tpu.models import transformer as t
+
+        return {
+            "init": t.init_block,
+            "pack": t.pack_block,
+            "forward": t.block_forward,
+            "prefill": t.block_prefill,
+            "extend": t.block_extend,
+            "decode": t.block_decode_step,
+            "cache": t.init_block_cache,
+        }
+
 
 def init_lm(key: jax.Array, cfg: TernaryLMConfig) -> dict:
     """Dense embeddings/norms + ternary master weights for blocks and head."""
     ke, kp, kh, kb = jax.random.split(key, 4)
     blocks = []
     for k in jax.random.split(kb, cfg.n_layers):
-        blocks.append(init_block(k, cfg.block))
+        blocks.append(cfg._blk["init"](k, cfg.block))
     scale = 1.0 / jnp.sqrt(jnp.float32(cfg.d_model))
     return {
         "embed": rng.rand_dense(ke, (cfg.vocab, cfg.d_model)) * scale,
@@ -105,10 +161,17 @@ def pack_lm(params: dict, quantize: bool = False) -> dict:
 
         head_scale = absmean_scale(head)
         head = ternarize_ste(head)
+    def pack_one(b):
+        if "moe" in b:  # MoE block pytree (models/moe_block.py)
+            from smmb_tpu.models.moe_block import pack_moe_block
+
+            return pack_moe_block(b, quantize=quantize)
+        return pack_block(b, quantize=quantize)
+
     return {
         "embed": params["embed"],
         "pos": params["pos"],
-        "blocks": [pack_block(b, quantize=quantize) for b in params["blocks"]],
+        "blocks": [pack_one(b) for b in params["blocks"]],
         "norm_f": params["norm_f"],
         "head": pack_ternary_device(head),
         "head_scale": jnp.float32(head_scale),
@@ -145,7 +208,7 @@ def lm_forward(
     b, t = tokens.shape
     x = packed["embed"][tokens] + packed["pos"][None, :t]
     for blk in packed["blocks"]:
-        x = block_forward(
+        x = cfg._blk["forward"](
             blk, x, cfg.block,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
             precision=precision, use_flash=use_flash,
@@ -159,7 +222,7 @@ def lm_init_cache(
     quantized: bool = False, ragged: bool = False,
 ):
     return [
-        init_block_cache(
+        cfg._blk["cache"](
             cfg.block, batch, cfg.max_len, dtype=dtype,
             quantized=quantized, ragged=ragged,
         )
@@ -197,7 +260,7 @@ def lm_prefill(
         x = packed["embed"][tokens] + packed["pos"][pos_ids]
     new_cache = []
     for blk, c in zip(packed["blocks"], cache):
-        x, c = block_prefill(
+        x, c = cfg._blk["prefill"](
             blk, x, c, cfg.block,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
             precision=precision, use_flash=use_flash, valid=prompt_mask,
@@ -240,7 +303,7 @@ def lm_extend(
     x = packed["embed"][tokens] + pe[None]
     new_cache = []
     for blk, ch in zip(packed["blocks"], cache):
-        x, ch = block_extend(
+        x, ch = cfg._blk["extend"](
             blk, x, ch, cfg.block,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
             precision=precision,
@@ -294,7 +357,7 @@ def lm_prefill_chunked(
         x = packed["embed"][toks_c] + pe[None]
         new_cache = []
         for blk, c in zip(packed["blocks"], cache):
-            x, c = block_extend(
+            x, c = cfg._blk["extend"](
                 blk, x, c, cfg.block,
                 compute_dtype=compute_dtype, use_kernel=use_kernel,
                 precision=precision,
@@ -370,7 +433,7 @@ def lm_decode_step(
     x = packed["embed"][token_t][:, None, :] + pe
     new_cache = []
     for blk, c in zip(packed["blocks"], cache):
-        x, c = block_decode_step(
+        x, c = cfg._blk["decode"](
             blk, x, c, cfg.block,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
             precision=precision,
@@ -379,6 +442,36 @@ def lm_decode_step(
     h = rmsnorm(x, packed["norm_f"], cfg.eps)
     logits = _head_logits(packed, h, cfg, compute_dtype, use_kernel)
     return logits[:, 0], new_cache
+
+
+def _qat_lm_forward_aux(
+    params: dict,
+    tokens: jax.Array,
+    cfg: TernaryLMConfig,
+    attn_chunk: int | None = None,
+):
+    """(logits, aux): the QAT forward plus the summed MoE load-balance
+    loss (0.0 for dense blocks)."""
+    from smmb_tpu.models.train import absmean_scale, ternarize_ste
+    from smmb_tpu.models.transformer import qat_block_forward
+
+    b, t = tokens.shape
+    x = params["embed"][tokens] + params["pos"][None, :t]
+    aux = jnp.float32(0.0)
+    for blk in params["blocks"]:
+        if cfg.n_experts is not None:
+            from smmb_tpu.models.moe_block import qat_moe_block_forward
+
+            x, a = qat_moe_block_forward(
+                blk, x, cfg.block, attn_chunk=attn_chunk
+            )
+            aux = aux + a
+        else:
+            x = qat_block_forward(blk, x, cfg.block, attn_chunk=attn_chunk)
+    h = rmsnorm(x, params["norm_f"], cfg.eps)
+    w = params["head"]
+    wq = ternarize_ste(w) * absmean_scale(w)
+    return jnp.dot(h, wq, preferred_element_type=jnp.float32), aux
 
 
 def qat_lm_forward(
@@ -392,17 +485,7 @@ def qat_lm_forward(
     Mirrors ``lm_forward``'s serving math so ``pack_lm(quantize=True)``
     serves exactly what was trained. ``attn_chunk`` = memory-efficient
     attention (O(T·chunk) instead of O(T²) residuals; long contexts)."""
-    from smmb_tpu.models.train import absmean_scale, ternarize_ste
-    from smmb_tpu.models.transformer import qat_block_forward
-
-    b, t = tokens.shape
-    x = params["embed"][tokens] + params["pos"][None, :t]
-    for blk in params["blocks"]:
-        x = qat_block_forward(blk, x, cfg.block, attn_chunk=attn_chunk)
-    h = rmsnorm(x, params["norm_f"], cfg.eps)
-    w = params["head"]
-    wq = ternarize_ste(w) * absmean_scale(w)
-    return jnp.dot(h, wq, preferred_element_type=jnp.float32)
+    return _qat_lm_forward_aux(params, tokens, cfg, attn_chunk)[0]
 
 
 def make_lm_train_step(
@@ -431,10 +514,15 @@ def make_lm_train_step(
     tx = optax.adam(learning_rate)
 
     def loss_fn(params, tokens):
-        logits = qat_lm_forward(params, tokens, cfg, attn_chunk=attn_chunk)
-        return optax.softmax_cross_entropy_with_integer_labels(
+        logits, aux = _qat_lm_forward_aux(
+            params, tokens, cfg, attn_chunk=attn_chunk
+        )
+        ce = optax.softmax_cross_entropy_with_integer_labels(
             logits[:, :-1], tokens[:, 1:]
         ).mean()
+        # MoE blocks contribute the Switch load-balance aux (0 for dense);
+        # 1e-2 is the standard Switch weighting
+        return ce + 1e-2 * aux
 
     def init_opt(params):
         return tx.init(params)

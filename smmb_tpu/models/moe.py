@@ -270,14 +270,29 @@ def moe_forward(
     *,
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
+    no_drop: bool = False,
 ) -> jax.Array:
     """Single-device routed forward: (N, d_model) → (N, d_model).
 
     (For (B, T, D) inputs flatten to (B·T, D) first — routing is
     per-token.)
+
+    ``no_drop=True`` sizes capacity so NO token can overflow (worst case:
+    every token picks the same expert at every rank → N·top_k slots).
+    This is the SERVING mode: capacity-competitive routing is not causal
+    (whether a token drops depends on the other tokens in the call, so
+    decode would disagree with prefill); drop-free routing makes every
+    token's expert output independent of its neighbors, which is what
+    gives the MoE LM exact decode-vs-forward parity. Training keeps the
+    competitive Switch capacity (the standard train-compete/serve-dense
+    split); the cost is a C=N·top_k dispatch tensor, so long prompts
+    should prefill in chunks (models/lm.lm_prefill_chunked).
     """
     n, d = x.shape
-    cap = cfg.capacity(n)
+    if no_drop:
+        cap = max(8, -(-(n * cfg.top_k) // 8) * 8)
+    else:
+        cap = cfg.capacity(n)
     # HIGHEST on the routing/dispatch matmuls: they are one-hot selections
     # (must move activations exactly, not bf16-rounded — the TPU default
     # single-pass-bf16 costs 5e-3 rel err end to end) and a tiny fraction
