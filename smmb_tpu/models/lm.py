@@ -30,12 +30,6 @@ import jax.numpy as jnp
 
 from smmb_tpu.models.transformer import (
     TernaryBlockConfig,
-    block_decode_step,
-    block_extend,
-    block_forward,
-    block_prefill,
-    init_block,
-    init_block_cache,
     pack_block,
     rmsnorm,
 )
@@ -114,7 +108,6 @@ class TernaryLMConfig:
 
             return {
                 "init": m.init_moe_block,
-                "pack": m.pack_moe_block,
                 "forward": m.moe_block_forward,
                 "prefill": m.moe_block_prefill,
                 "extend": m.moe_block_extend,
@@ -125,7 +118,6 @@ class TernaryLMConfig:
 
         return {
             "init": t.init_block,
-            "pack": t.pack_block,
             "forward": t.block_forward,
             "prefill": t.block_prefill,
             "extend": t.block_extend,
@@ -161,6 +153,7 @@ def pack_lm(params: dict, quantize: bool = False) -> dict:
 
         head_scale = absmean_scale(head)
         head = ternarize_ste(head)
+
     def pack_one(b):
         if "moe" in b:  # MoE block pytree (models/moe_block.py)
             from smmb_tpu.models.moe_block import pack_moe_block
@@ -493,6 +486,7 @@ def make_lm_train_step(
     learning_rate: float = 1e-3,
     accum_steps: int = 1,
     attn_chunk: int | None = None,
+    aux_weight: float = 1e-2,
 ):
     """(init_opt, train_step) for next-token cross-entropy on the ternary LM.
 
@@ -520,9 +514,8 @@ def make_lm_train_step(
         ce = optax.softmax_cross_entropy_with_integer_labels(
             logits[:, :-1], tokens[:, 1:]
         ).mean()
-        # MoE blocks contribute the Switch load-balance aux (0 for dense);
-        # 1e-2 is the standard Switch weighting
-        return ce + 1e-2 * aux
+        # MoE blocks contribute the Switch load-balance aux (0 for dense)
+        return ce + aux_weight * aux
 
     def init_opt(params):
         return tx.init(params)
@@ -658,7 +651,7 @@ def generate_beam(
     jax.jit,
     static_argnames=(
         "cfg", "steps", "compute_dtype", "use_kernel", "temperature",
-        "top_k", "top_p", "use_flash", "kv_quant",
+        "top_k", "top_p", "use_flash", "kv_quant", "prefill_chunk",
     ),
 )
 def generate(
@@ -676,6 +669,7 @@ def generate(
     use_flash: bool = False,
     kv_quant: bool = False,
     prompt_mask: jax.Array | None = None,
+    prefill_chunk: int | None = None,
 ) -> jax.Array:
     """Generation: (B, T) prompt → (B, steps) continuation tokens.
 
@@ -689,7 +683,19 @@ def generate(
     prompt (real tokens rightmost) and mark the real ones. Pad slots are
     masked out of all attention; the learned positional embedding uses
     each row's logical position. Not combinable with ``use_flash``.
+
+    ``prefill_chunk`` routes the prompt through ``lm_prefill_chunked``
+    (T % chunk == 0 required): O(B·C·D) prefill memory — and for MoE LMs
+    it caps the drop-free routing's dispatch tensor at chunk size, which
+    one-shot prefill grows quadratically in T. Not combinable with
+    ``prompt_mask`` or ``use_flash``.
     """
+    if prefill_chunk is not None and (
+        prompt_mask is not None or use_flash
+    ):
+        raise ValueError(
+            "prefill_chunk is not combinable with prompt_mask/use_flash"
+        )
     if prompt.shape[1] + steps > cfg.max_len:
         # dynamic_update_slice clamps out-of-range writes, which would
         # silently corrupt the cache — fail loudly instead
@@ -711,10 +717,15 @@ def generate(
         cfg, prompt.shape[0], dtype=compute_dtype, quantized=kv_quant,
         ragged=prompt_mask is not None,
     )
-    logits, cache = lm_prefill(
-        packed, prompt, cache, cfg, use_flash=use_flash,
-        prompt_mask=prompt_mask, **kw
-    )
+    if prefill_chunk is not None:
+        logits, cache = lm_prefill_chunked(
+            packed, prompt, cache, cfg, chunk=prefill_chunk, **kw
+        )
+    else:
+        logits, cache = lm_prefill(
+            packed, prompt, cache, cfg, use_flash=use_flash,
+            prompt_mask=prompt_mask, **kw
+        )
     key, k0 = jax.random.split(key)
     tok0 = sampler(k0, logits)
     # per-row logical positions for the learned embedding (ragged only)

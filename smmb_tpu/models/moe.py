@@ -278,19 +278,21 @@ def moe_forward(
     per-token.)
 
     ``no_drop=True`` sizes capacity so NO token can overflow (worst case:
-    every token picks the same expert at every rank → N·top_k slots).
-    This is the SERVING mode: capacity-competitive routing is not causal
-    (whether a token drops depends on the other tokens in the call, so
-    decode would disagree with prefill); drop-free routing makes every
-    token's expert output independent of its neighbors, which is what
-    gives the MoE LM exact decode-vs-forward parity. Training keeps the
-    competitive Switch capacity (the standard train-compete/serve-dense
-    split); the cost is a C=N·top_k dispatch tensor, so long prompts
-    should prefill in chunks (models/lm.lm_prefill_chunked).
+    every token routes to the same expert — N slots; top_k picks DISTINCT
+    experts per token, so an expert receives at most one assignment per
+    token regardless of k). This is the SERVING mode: capacity-competitive
+    routing is not causal (whether a token drops depends on the other
+    tokens in the call, so decode would disagree with prefill); drop-free
+    routing makes every token's expert output independent of its
+    neighbors, which is what gives the MoE LM exact decode-vs-forward
+    parity. Training keeps the competitive Switch capacity (the standard
+    train-compete/serve-dense split); the cost is a C=N dispatch tensor
+    (quadratic in call size), so long prompts should prefill in chunks —
+    ``generate(..., prefill_chunk=C)`` / models/lm.lm_prefill_chunked.
     """
     n, d = x.shape
     if no_drop:
-        cap = max(8, -(-(n * cfg.top_k) // 8) * 8)
+        cap = max(8, -(-n // 8) * 8)
     else:
         cap = cfg.capacity(n)
     # HIGHEST on the routing/dispatch matmuls: they are one-hot selections

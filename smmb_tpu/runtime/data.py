@@ -26,12 +26,16 @@ from smmb_tpu.runtime import native
 
 
 def write_token_file(path: str, tokens) -> None:
-    """Serialize a 1-D int token sequence as the flat uint32 corpus format."""
+    """Serialize a 1-D int token sequence as the flat uint32 corpus format.
+
+    Ids must fit int32 (the reader emits int32 batches — JAX's index
+    dtype; a uint32-max bound here would let ids ≥ 2³¹ silently wrap
+    negative on read)."""
     arr = np.asarray(tokens)
     if arr.ndim != 1:
         raise ValueError(f"tokens must be 1-D, got shape {arr.shape}")
-    if arr.size and (arr.min() < 0 or arr.max() > np.iinfo(np.uint32).max):
-        raise ValueError("token ids out of uint32 range")
+    if arr.size and (arr.min() < 0 or arr.max() > np.iinfo(np.int32).max):
+        raise ValueError("token ids must be in [0, 2**31) (int32 batches)")
     arr.astype("<u4").tofile(path)
 
 

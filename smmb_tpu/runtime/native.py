@@ -60,26 +60,36 @@ def _lib() -> ctypes.CDLL | None:
             lib = ctypes.CDLL(so)
         except OSError:
             return None  # stale/foreign .so: fall back to numpy paths
-        i64, i32p, i64p = (
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64),
-        )
-        f32p = ctypes.POINTER(ctypes.c_float)
-        i8p = ctypes.POINTER(ctypes.c_int8)
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.tcsc_count.argtypes = [f32p, i64, i64, i32p, i32p, i64p, i64p]
-        lib.tcsc_fill.argtypes = [f32p, i64, i64, i32p, i32p, i32p, i32p]
-        lib.pack_ternary.argtypes = [f32p, i64, i64, i64, i8p]
-        lib.bcsr_count.argtypes = [f32p, i64, i64, i64, i64, i32p, u8p]
-        lib.bcsr_count.restype = i64
-        lib.bcsr_fill.argtypes = [f32p, i64, i64, i64, i64, i32p, u8p, i32p, f32p]
-        u64 = ctypes.c_uint64
-        u32p = ctypes.POINTER(ctypes.c_uint32)
-        lib.shuffle_offsets.argtypes = [i64, u64, i64p]
-        lib.gather_windows.argtypes = [u32p, i64p, i64, i64, i32p]
+        try:
+            _bind(lib)
+        except AttributeError:
+            # .so predates a symbol (e.g. preserved-mtime artifact without
+            # a toolchain to rebuild): fall back to numpy rather than
+            # crashing every native path on first use
+            return None
         _LIB = lib
         return _LIB
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare argtypes for every exported symbol (raises AttributeError
+    if the loaded .so predates one — the caller falls back to numpy)."""
+    i64 = ctypes.c_int64
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.tcsc_count.argtypes = [f32p, i64, i64, i32p, i32p, i64p, i64p]
+    lib.tcsc_fill.argtypes = [f32p, i64, i64, i32p, i32p, i32p, i32p]
+    lib.pack_ternary.argtypes = [f32p, i64, i64, i64, i8p]
+    lib.bcsr_count.argtypes = [f32p, i64, i64, i64, i64, i32p, u8p]
+    lib.bcsr_count.restype = i64
+    lib.bcsr_fill.argtypes = [f32p, i64, i64, i64, i64, i32p, u8p, i32p, f32p]
+    u64 = ctypes.c_uint64
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.shuffle_offsets.argtypes = [i64, u64, i64p]
+    lib.gather_windows.argtypes = [u32p, i64p, i64, i64, i32p]
 
 
 def native_available() -> bool:

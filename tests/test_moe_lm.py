@@ -128,3 +128,20 @@ def test_moe_lm_trains_with_aux():
         pack_lm(params, quantize=True), toks, CFG, use_kernel=False
     )
     assert bool(jnp.all(jnp.isfinite(served)))
+
+
+def test_moe_lm_generate_with_chunked_prefill():
+    """generate(prefill_chunk=C) matches one-shot generate (and caps the
+    MoE dispatch tensor at chunk size)."""
+    _, packed = _lm(12)
+    prompt = jax.random.randint(jax.random.PRNGKey(13), (2, 12), 0, CFG.vocab)
+    g0 = generate(packed, prompt, CFG, steps=6, use_kernel=False)
+    g1 = generate(
+        packed, prompt, CFG, steps=6, use_kernel=False, prefill_chunk=4
+    )
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g0))
+    with pytest.raises(ValueError, match="not combinable"):
+        generate(
+            packed, prompt, CFG, steps=6, use_kernel=False,
+            prefill_chunk=4, use_flash=True,
+        )
