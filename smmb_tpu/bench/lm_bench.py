@@ -90,12 +90,16 @@ def main(argv=None):
                     help="flash-attention prefill")
     ap.add_argument("--rope", action="store_true")
     ap.add_argument("--window", type=int, default=None)
+    ap.add_argument("--experts", type=int, default=None,
+                    help="MoE LM: routed-FFN blocks with this many experts")
+    ap.add_argument("--top-k", type=int, default=1)
     args = ap.parse_args(argv)
     cfg = TernaryLMConfig(
         vocab=args.vocab, d_model=args.d_model, n_heads=args.n_heads,
         d_ff=args.d_ff, n_layers=args.layers,
         max_len=args.prompt_len + 3 * args.steps,
         n_kv_heads=args.kv_heads, rope=args.rope, window=args.window,
+        n_experts=args.experts, top_k=args.top_k,
     )
     r = run_lm_bench(
         cfg, args.batch, args.prompt_len, args.steps,
@@ -108,6 +112,7 @@ def main(argv=None):
         f"{' kvq' if args.kv_quant else ''}{' flash' if args.flash else ''}"
         f"{' rope' if args.rope else ''}"
         f"{f' win{args.window}' if args.window else ''}"
+        f"{f' moe{args.experts}x{args.top_k}' if args.experts else ''}"
         f"  {r.per_token_s * 1e6:.1f}us/tok = {r.tokens_per_s:.0f} tok/s "
         f"(slope {args.steps}->{3 * args.steps} steps; "
         f"lo={r.lo_s * 1e3:.2f}ms hi={r.hi_s * 1e3:.2f}ms)"
