@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from smmb_tpu.models.transformer import TernaryBlockConfig, block_forward, rmsnorm
+from smmb_tpu.models.transformer import TernaryBlockConfig, rmsnorm
 from smmb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -113,8 +113,11 @@ def lm_forward_pp(
 
         def run_stage(h):
             def one_block(h, bp):
+                # cfg._blk dispatches dense vs MoE blocks — the pipeline
+                # schedule is architecture-agnostic (MoE block pytrees
+                # stack the same way: tree leaves gain the layer axis)
                 return (
-                    block_forward(
+                    cfg._blk["forward"](
                         bp, h, cfg.block,
                         compute_dtype=compute_dtype, use_kernel=use_kernel,
                         precision=precision,

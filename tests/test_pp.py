@@ -61,3 +61,32 @@ def test_pp_rejects_uneven_layers():
     packed, _ = _setup(81)  # n_layers=2 not divisible by 4 stages
     with pytest.raises(ValueError):
         shard_lm_pp(packed, mesh)
+
+
+def test_pp_moe_lm_matches_single():
+    """MoE blocks through the GPipe schedule: the pipeline is
+    architecture-agnostic (cfg._blk dispatch; MoE pytrees stack)."""
+    from smmb_tpu.models.lm import TernaryLMConfig, init_lm, lm_forward, pack_lm
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.pp_lm import lm_forward_pp, shard_lm_pp
+
+    cfg = TernaryLMConfig(
+        vocab=64, d_model=128, n_heads=2, d_ff=128, n_layers=2, max_len=16,
+        n_experts=4, top_k=2,
+    )
+    packed = pack_lm(init_lm(jax.random.PRNGKey(70), cfg))
+    toks = jax.random.randint(jax.random.PRNGKey(71), (4, 8), 0, cfg.vocab)
+    ref = np.asarray(
+        lm_forward(
+            packed, toks, cfg, use_kernel=False,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    )
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    sharded = shard_lm_pp(packed, mesh)
+    y = lm_forward_pp(
+        sharded, toks, cfg, mesh=mesh, microbatches=2, use_kernel=False,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    tol = max(1e-4, 5e-5 * float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
