@@ -58,11 +58,32 @@ for h in range(H):
 err = np.abs(y - want).max()
 t(f"parity vs f64 oracle: err={err:.2e} " + ("PASS" if err < 1e-5 else "FAIL"))
 
-t("bf16 timing point (B1 H8/KV2 T1024)...")
+t("compiling flash with sliding window (W=256, tile skip active)...")
+yw = np.asarray(flash_attention(q, k, v, causal=True, window=256))
+t("window parity vs f64 oracle...")
+wmask = mask & ~np.tril(np.ones((T, T), bool), -256)
+want_w = np.empty_like(qn)
+for h in range(H):
+    s = (qn[:, h] @ kn[:, h // g].transpose(0, 2, 1)) * scale
+    s = np.where(wmask, s, -np.inf)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p /= p.sum(-1, keepdims=True)
+    want_w[:, h] = p @ vn[:, h // g]
+err_w = np.abs(yw - want_w).max()
+t(f"window parity: err={err_w:.2e} "
+  + ("PASS" if err_w < 1e-5 else "FAIL"))
+
+t("bf16 timing points (B1 H8/KV2 T1024; full causal vs window 256)...")
 qb, kb, vb = (a.astype(jnp.bfloat16) for a in (q, k, v))
 m = measure_device(
     lambda a, b_, c: flash_attention(a, b_, c, causal=True), qb, kb, vb,
     iters=512,
 )
-t(f"flash bf16: {m.min_s * 1e6:.1f} us")
+t(f"flash bf16:        {m.min_s * 1e6:.1f} us")
+mw = measure_device(
+    lambda a, b_, c: flash_attention(a, b_, c, causal=True, window=256),
+    qb, kb, vb, iters=512,
+)
+t(f"flash bf16 W=256:  {mw.min_s * 1e6:.1f} us (tile skip)")
 t("DONE")
