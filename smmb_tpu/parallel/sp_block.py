@@ -33,6 +33,11 @@ from smmb_tpu.parallel.sharded import _local_spmm
 def _block_arrs_specs(packed: dict):
     """Flatten a pack_block dict to (arrays, replicated specs) for
     shard_map (TernaryPacked planes enter as raw data; all replicated)."""
+    if "moe" in packed:
+        raise ValueError(
+            "MoE blocks are not supported on the sequence-parallel path — "
+            "serve MoE LMs single-device or pipeline-parallel"
+        )
     keys = list(packed) + list(packed["attn"])
     if any(k.endswith("_lora") for k in keys):
         raise ValueError(

@@ -93,7 +93,15 @@ def shard_block_tp(packed: dict, mesh: Mesh) -> dict:
 
 def _reject_lora(packed: dict) -> None:
     """TP flattens packed dicts through fixed key lists; silently dropping
-    ``*_lora`` adapters would serve the frozen base — refuse instead."""
+    ``*_lora`` adapters would serve the frozen base — refuse instead.
+    MoE blocks are refused with a pointer rather than a KeyError."""
+    if "moe" in packed:
+        raise ValueError(
+            "MoE blocks are not supported on the tensor-parallel path — "
+            "serve MoE LMs single-device or pipeline-parallel "
+            "(parallel/pp_lm.py); expert parallelism for the MoE layer "
+            "is parallel/ep_moe.py"
+        )
     keys = list(packed) + list(packed.get("attn", ()))
     if any(k.endswith("_lora") for k in keys):
         raise ValueError(

@@ -145,3 +145,19 @@ def test_moe_lm_generate_with_chunked_prefill():
             packed, prompt, CFG, steps=6, use_kernel=False,
             prefill_chunk=4, use_flash=True,
         )
+
+
+def test_moe_blocks_rejected_on_tp_sp():
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.sp_block import block_forward_sp
+    from smmb_tpu.parallel.tp_transformer import shard_block_tp
+
+    _, packed = _lm(14)
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        shard_block_tp(packed["blocks"][0], mesh)
+    x = jnp.zeros((1, 4, CFG.d_model))
+    with pytest.raises(ValueError, match="sequence-parallel"):
+        block_forward_sp(
+            packed["blocks"][0], x, CFG.block, mesh=mesh, use_kernel=False
+        )
