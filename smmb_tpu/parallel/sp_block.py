@@ -31,13 +31,10 @@ from smmb_tpu.parallel.sharded import _local_spmm
 
 
 def _block_arrs_specs(packed: dict):
-    """Flatten a pack_block dict to (arrays, replicated specs) for
-    shard_map (TernaryPacked planes enter as raw data; all replicated)."""
-    if "moe" in packed:
-        raise ValueError(
-            "MoE blocks are not supported on the sequence-parallel path — "
-            "serve MoE LMs single-device or pipeline-parallel"
-        )
+    """Flatten a pack_block / pack_moe_block dict to (arrays, replicated
+    specs) for shard_map (TernaryPacked planes enter as raw data; all
+    replicated — weights are 2-bit, replication is cheaper than the
+    collectives weight-sharding would add per token)."""
     keys = list(packed) + list(packed["attn"])
     if any(k.endswith("_lora") for k in keys):
         raise ValueError(
@@ -45,21 +42,28 @@ def _block_arrs_specs(packed: dict):
             "path yet — serve adapted models through the single-device API"
         )
     a = packed["attn"]
-    arrs = {
-        "norm1": packed["norm1"], "norm2": packed["norm2"],
-        "w_up": packed["w_up"].data, "s_up": packed["s_up"],
-        "b_up": packed["b_up"],
-        "w_down": packed["w_down"].data, "s_down": packed["s_down"],
-        "b_down": packed["b_down"],
-    }
+    arrs = {"norm1": packed["norm1"], "norm2": packed["norm2"]}
+    if "moe" in packed:
+        # stacked expert weights (leading E axis), router dense
+        m = packed["moe"]
+        arrs["moe_router"] = m["router"]
+        for n in ("w_up", "w_down"):
+            arrs["moe_" + n] = m[n].data
+            arrs["moe_s" + n[1:]] = m["s" + n[1:]]
+            arrs["moe_b" + n[1:]] = m["b" + n[1:]]
+    else:
+        arrs.update({
+            "w_up": packed["w_up"].data, "s_up": packed["s_up"],
+            "b_up": packed["b_up"],
+            "w_down": packed["w_down"].data, "s_down": packed["s_down"],
+            "b_down": packed["b_down"],
+        })
     for n in ("wq", "wk", "wv", "wo"):
         arrs[n] = a[n].data
         arrs[n + "_scale"] = a[n + "_scale"]
         arrs[n.replace("w", "b")] = a[n.replace("w", "b")]
     specs = {
-        k: P(None, None) if arrs[k].ndim == 2 else
-        (P(None) if arrs[k].ndim == 1 else P())
-        for k in arrs
+        k: P(*([None] * arrs[k].ndim)) for k in arrs
     }
     return arrs, specs
 
@@ -96,6 +100,30 @@ def _block_body_sp(
     x_l = x_l + proj("wo", att.reshape(bl, tl, dm)).reshape(bl, tl, dm)
 
     h2 = rmsnorm(x_l, d["norm2"], cfg.eps).reshape(bl * tl, dm)
+    if "moe_router" in d:
+        # MoE FFN: routing is per-token, so each sequence shard routes
+        # its own tokens (drop-free — call-local and causal-safe); the
+        # stacked expert weights are replicated like every other weight
+        from smmb_tpu.formats.packed import TernaryPacked
+        from smmb_tpu.models.moe import moe_forward
+
+        mp = {
+            "router": d["moe_router"],
+            "w_up": TernaryPacked(
+                data=d["moe_w_up"], rows=cfg.d_model, cols=cfg.d_ff, nnz=-1
+            ),
+            "s_up": d["moe_s_up"], "b_up": d["moe_b_up"],
+            "w_down": TernaryPacked(
+                data=d["moe_w_down"], rows=cfg.d_ff, cols=cfg.d_model,
+                nnz=-1,
+            ),
+            "s_down": d["moe_s_down"], "b_down": d["moe_b_down"],
+        }
+        y = moe_forward(
+            mp, h2, cfg.moe, compute_dtype=compute_dtype,
+            use_kernel=use_kernel, no_drop=True,
+        )
+        return x_l + y.reshape(bl, tl, dm)
     up = _local_spmm(
         h2 * d["s_up"], d["w_up"], d["b_up"], cfg.alpha,
         compute_dtype, use_kernel, dm,

@@ -147,17 +147,60 @@ def test_moe_lm_generate_with_chunked_prefill():
         )
 
 
-def test_moe_blocks_rejected_on_tp_sp():
+def test_moe_blocks_rejected_on_tp():
     from smmb_tpu.parallel import make_mesh
-    from smmb_tpu.parallel.sp_block import block_forward_sp
     from smmb_tpu.parallel.tp_transformer import shard_block_tp
 
     _, packed = _lm(14)
     mesh = make_mesh(1, 2, devices=jax.devices()[:2])
     with pytest.raises(ValueError, match="tensor-parallel"):
         shard_block_tp(packed["blocks"][0], mesh)
-    x = jnp.zeros((1, 4, CFG.d_model))
-    with pytest.raises(ValueError, match="sequence-parallel"):
-        block_forward_sp(
-            packed["blocks"][0], x, CFG.block, mesh=mesh, use_kernel=False
-        )
+
+
+def test_moe_block_sp_matches_single():
+    """Sequence-parallel MoE block: shard-local drop-free routing over
+    each shard's tokens == the single-device block."""
+    from smmb_tpu.models.moe_block import (
+        TernaryMoEBlockConfig, init_moe_block, moe_block_forward,
+        pack_moe_block,
+    )
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.sp_block import block_forward_sp
+    from smmb_tpu.utils import rng
+
+    cfg = TernaryMoEBlockConfig(
+        d_model=512, n_heads=4, d_ff=512, n_experts=4, top_k=2,
+        n_kv_heads=2, rope=True,
+    )
+    packed = pack_moe_block(init_moe_block(jax.random.PRNGKey(15), cfg))
+    x = rng.rand_dense(jax.random.PRNGKey(16), (2, 32, 512)) * 0.1
+    ref = np.asarray(
+        moe_block_forward(packed, x, cfg, use_kernel=False, precision=HI)
+    )
+    mesh = make_mesh(2, 4)
+    y = block_forward_sp(
+        packed, x, cfg, mesh=mesh, use_kernel=False, precision=HI
+    )
+    tol = max(1e-4, 5e-5 * float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
+
+
+def test_moe_lm_sp_forward_matches_single():
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.sp_block import lm_forward_sp
+
+    cfg = TernaryLMConfig(
+        vocab=128, d_model=512, n_heads=4, d_ff=512, n_layers=1, max_len=64,
+        n_experts=4, top_k=2,
+    )
+    packed = pack_lm(init_lm(jax.random.PRNGKey(17), cfg))
+    toks = jax.random.randint(jax.random.PRNGKey(18), (1, 32), 0, cfg.vocab)
+    ref = np.asarray(
+        lm_forward(packed, toks, cfg, use_kernel=False, precision=HI)
+    )
+    mesh = make_mesh(1, 8)
+    y = lm_forward_sp(
+        packed, toks, cfg, mesh=mesh, use_kernel=False, precision=HI
+    )
+    tol = max(1e-4, 5e-5 * float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
