@@ -9,6 +9,7 @@ from smmb_tpu.parallel.ep_moe import moe_forward_ep, shard_moe_ep
 from smmb_tpu.parallel.pp_lm import lm_forward_pp, shard_lm_pp
 from smmb_tpu.parallel.ring_attention import attention_forward_sp, ring_attention
 from smmb_tpu.parallel.sp_block import block_forward_sp, lm_forward_sp
+from smmb_tpu.parallel.tp_moe import moe_block_forward_tp, shard_moe_block_tp
 from smmb_tpu.parallel.sharded import (
     shard_packed_columns,
     shard_packed_rows,

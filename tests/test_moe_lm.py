@@ -204,3 +204,58 @@ def test_moe_lm_sp_forward_matches_single():
     )
     tol = max(1e-4, 5e-5 * float(np.abs(ref).max()))
     np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
+
+
+def test_moe_block_tp_ep_matches_single():
+    """TP attention + EP experts on one mesh axis == single-device MoE
+    block (drop-free routing identical on every shard; two psums)."""
+    from smmb_tpu.models.moe_block import (
+        TernaryMoEBlockConfig, init_moe_block, moe_block_forward,
+        pack_moe_block,
+    )
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.tp_moe import (
+        moe_block_forward_tp, shard_moe_block_tp,
+    )
+    from smmb_tpu.utils import rng
+
+    cfg = TernaryMoEBlockConfig(
+        d_model=1024, n_heads=4, d_ff=512, n_experts=4, top_k=2,
+        n_kv_heads=2,
+    )
+    packed = pack_moe_block(init_moe_block(jax.random.PRNGKey(20), cfg))
+    x = rng.rand_dense(jax.random.PRNGKey(21), (2, 6, 1024)) * 0.1
+    ref = np.asarray(
+        moe_block_forward(packed, x, cfg, use_kernel=False, precision=HI)
+    )
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = shard_moe_block_tp(packed, mesh)
+    y = moe_block_forward_tp(
+        sharded, x, cfg, mesh=mesh, use_kernel=False, precision=HI
+    )
+    tol = max(1e-4, 5e-5 * float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
+
+
+def test_moe_block_tp_ep_kernel_path():
+    from smmb_tpu.models.moe_block import (
+        TernaryMoEBlockConfig, init_moe_block, moe_block_forward,
+        pack_moe_block,
+    )
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.tp_moe import (
+        moe_block_forward_tp, shard_moe_block_tp,
+    )
+    from smmb_tpu.utils import rng
+
+    cfg = TernaryMoEBlockConfig(
+        d_model=1024, n_heads=4, d_ff=512, n_experts=2
+    )
+    packed = pack_moe_block(init_moe_block(jax.random.PRNGKey(22), cfg))
+    x = rng.rand_dense(jax.random.PRNGKey(23), (1, 2, 1024)) * 0.1
+    ref = np.asarray(moe_block_forward(packed, x, cfg, use_kernel=False))
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    sharded = shard_moe_block_tp(packed, mesh)
+    y = moe_block_forward_tp(sharded, x, cfg, mesh=mesh, use_kernel=True)
+    tol = max(1e-3, 1e-4 * float(np.abs(ref).max()))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
