@@ -29,6 +29,39 @@ def _model_size(mesh: Mesh) -> int:
     return mesh.shape[MODEL_AXIS]
 
 
+def ep_ffn_body(
+    x_l, router, stack, cfg: TernaryMoEConfig, e_loc: int, cap: int,
+    compute_dtype, use_kernel: bool,
+):
+    """Shard-local expert-parallel MoE application (inside shard_map):
+    route ALL local tokens against the replicated router, compute slabs
+    for the experts this shard owns, psum the combine over ``model``.
+    Shared by the standalone EP layer and the TP-EP MoE block
+    (parallel/tp_moe.py). HIGHEST on routing/dispatch: one-hot selections
+    must move activations exactly (see models/moe.moe_forward)."""
+    hi = jax.lax.Precision.HIGHEST
+    logits = jnp.dot(x_l, router, precision=hi)
+    dispatch, combine = _route(logits, cap, cfg.top_k)
+    off = jax.lax.axis_index(MODEL_AXIS) * e_loc
+    disp_l = jax.lax.dynamic_slice_in_dim(dispatch, off, e_loc, axis=1)
+    comb_l = jax.lax.dynamic_slice_in_dim(combine, off, e_loc, axis=1)
+    x_e = jnp.einsum("nec,nd->ecd", disp_l, x_l, precision=hi)
+
+    def one(carry, inp):
+        x_slab, (w_up, s_up, b_up, w_down, s_down, b_down) = inp
+        y = _expert_ffn(
+            x_slab, w_up, s_up, b_up, w_down, s_down, b_down,
+            cfg.alpha, compute_dtype, use_kernel,
+        )
+        return carry, y
+
+    _, y_e = jax.lax.scan(one, None, (x_e, stack))
+    y_part = jnp.einsum(
+        "nec,ecd->nd", comb_l, y_e.astype(x_l.dtype), precision=hi
+    )
+    return jax.lax.psum(y_part, MODEL_AXIS)
+
+
 def shard_moe_ep(packed: dict, mesh: Mesh) -> dict:
     """Place a packed MoE (models/moe.pack_moe) expert-parallel: every
     expert-stacked leaf sharded on its leading E axis; router replicated."""
@@ -81,30 +114,11 @@ def moe_forward_ep(
     specs["router"] = P(None, None)
 
     def body(d, x_l):
-        # HIGHEST on routing/dispatch: one-hot selections must move
-        # activations exactly (see models/moe.moe_forward)
-        hi = jax.lax.Precision.HIGHEST
-        logits = jnp.dot(x_l, d["router"], precision=hi)
-        dispatch, combine = _route(logits, cap, cfg.top_k)
-        off = jax.lax.axis_index(MODEL_AXIS) * e_loc
-        disp_l = jax.lax.dynamic_slice_in_dim(dispatch, off, e_loc, axis=1)
-        comb_l = jax.lax.dynamic_slice_in_dim(combine, off, e_loc, axis=1)
-        x_e = jnp.einsum("nec,nd->ecd", disp_l, x_l, precision=hi)
-
-        def one(carry, inp):
-            x_slab, (w_up, s_up, b_up, w_down, s_down, b_down) = inp
-            y = _expert_ffn(
-                x_slab, w_up, s_up, b_up, w_down, s_down, b_down,
-                cfg.alpha, compute_dtype, use_kernel,
-            )
-            return carry, y
-
         stack = tuple(d[k] for k in stack_keys)
-        _, y_e = jax.lax.scan(one, None, (x_e, stack))
-        y_part = jnp.einsum(
-            "nec,ecd->nd", comb_l, y_e.astype(x_l.dtype), precision=hi
+        return ep_ffn_body(
+            x_l, d["router"], stack, cfg, e_loc, cap,
+            compute_dtype, use_kernel,
         )
-        return jax.lax.psum(y_part, MODEL_AXIS)
 
     return jax.shard_map(
         body,

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from smmb_tpu.models.transformer import TernaryBlockConfig, rmsnorm
+from smmb_tpu.models.transformer import rmsnorm
 from smmb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 

@@ -20,54 +20,43 @@ single-device ``moe_block_forward`` exactly (up to psum summation order).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from smmb_tpu.models.attention import _attention_math
-from smmb_tpu.models.moe import _expert_ffn, _route
 from smmb_tpu.models.moe_block import TernaryMoEBlockConfig
 from smmb_tpu.models.transformer import rmsnorm
-from smmb_tpu.parallel.ep_moe import shard_moe_ep
+from smmb_tpu.parallel.ep_moe import ep_ffn_body, shard_moe_ep
 from smmb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from smmb_tpu.parallel.sharded import (
-    _local_spmm,
-    shard_packed_columns,
-    shard_packed_rows,
+from smmb_tpu.parallel.tp_transformer import (
+    _model_size,
+    attn_half_tp,
+    shard_attn_megatron,
 )
-from smmb_tpu.parallel.tp_transformer import _model_size, _qkv_local
 
 _EXPERT_KEYS = ("w_up", "s_up", "b_up", "w_down", "s_down", "b_down")
+
+
+def _reject_lora_tpep(packed: dict) -> None:
+    if any(
+        k.endswith("_lora")
+        for k in list(packed) + list(packed.get("attn", ()))
+    ):
+        raise ValueError(
+            "LoRA adapters are not supported on the TP-EP path yet — "
+            "serve adapted models through the single-device API"
+        )
 
 
 def shard_moe_block_tp(packed: dict, mesh: Mesh) -> dict:
     """Place one packed MoE block (models/moe_block.pack_moe_block):
     attention Megatron-sharded, experts expert-parallel, norms replicated."""
-    ms = _model_size(mesh)
-    a = packed["attn"]
-    if any(k.endswith("_lora") for k in list(packed) + list(a)):
-        raise ValueError(
-            "LoRA adapters are not supported on the TP-EP path yet"
-        )
-    repl = NamedSharding(mesh, P())
+    _reject_lora_tpep(packed)
     repl1 = NamedSharding(mesh, P(None))
-    col_b = NamedSharding(mesh, P(MODEL_AXIS))
-
-    attn = {}
-    for name in ("wq", "wk", "wv"):
-        attn[name] = shard_packed_columns(a[name], mesh)
-        attn[name + "_scale"] = jax.device_put(a[name + "_scale"], repl)
-        attn[name.replace("w", "b")] = jax.device_put(
-            a[name.replace("w", "b")], col_b
-        )
-    attn["wo"] = shard_packed_rows(a["wo"], mesh)
-    attn["wo_scale"] = jax.device_put(a["wo_scale"], repl)
-    attn["bo"] = jax.device_put(a["bo"], repl1)
     return {
-        "attn": attn,
+        "attn": shard_attn_megatron(packed["attn"], mesh),
         "moe": shard_moe_ep(packed["moe"], mesh),
         "norm1": jax.device_put(packed["norm1"], repl1),
         "norm2": jax.device_put(packed["norm2"], repl1),
@@ -75,6 +64,7 @@ def shard_moe_block_tp(packed: dict, mesh: Mesh) -> dict:
 
 
 def _arrs_specs(packed: dict):
+    _reject_lora_tpep(packed)
     a, m = packed["attn"], packed["moe"]
     arrs = {
         "norm1": packed["norm1"], "norm2": packed["norm2"],
@@ -129,56 +119,22 @@ def moe_block_forward_tp(
 
     def body(d, x_l):
         bl, t, dm = x_l.shape
-        d_loc = dm // ms
-        h_loc = cfg.n_heads // ms
-        kvh_loc = cfg.attn.kv_heads // ms
-        hd = cfg.attn.head_dim
-        lcfg = dataclasses.replace(
-            cfg.attn, d_model=d_loc, n_heads=h_loc, n_kv_heads=kvh_loc
+        # attention half: shared Megatron pairing, one psum
+        x_mid = attn_half_tp(
+            d, x_l, cfg.attn, cfg.eps, ms, compute_dtype, use_kernel,
+            precision,
         )
-
-        # --- attention half: Megatron pairing, one psum -----------------
-        h = rmsnorm(x_l, d["norm1"], cfg.eps).reshape(bl * t, dm)
-        q, k, v = _qkv_local(
-            d, h, bl, t, h_loc, kvh_loc, hd, compute_dtype, use_kernel, dm
-        )
-        att = _attention_math(
-            *(a.reshape(bl, t, -1) for a in (q, k, v)),
-            lcfg, precision=precision,
-        )
-        part = _local_spmm(
-            att.reshape(bl * t, d_loc) * d["so"], d["wo"], None, None,
-            compute_dtype, use_kernel, d_loc,
-        )
-        att_out = jax.lax.psum(part, MODEL_AXIS) + d["bo"]
-        x_mid = x_l + att_out.reshape(bl, t, dm)
-
-        # --- expert-parallel MoE half: one psum -------------------------
+        # expert-parallel MoE half: shared EP body, one psum; capacity is
+        # drop-free (models/moe.moe_forward's serving rule) — the
+        # dispatch is identical on every shard, so parity is exact
         h2 = rmsnorm(x_mid, d["norm2"], cfg.eps).reshape(bl * t, dm)
-        hi = jax.lax.Precision.HIGHEST
-        logits = jnp.dot(h2, d["router"], precision=hi)
         n = bl * t
-        cap = max(8, -(-n // 8) * 8)  # drop-free (serving rule)
-        dispatch, combine = _route(logits, cap, cfg.top_k)
-        off = jax.lax.axis_index(MODEL_AXIS) * e_loc
-        disp_l = jax.lax.dynamic_slice_in_dim(dispatch, off, e_loc, axis=1)
-        comb_l = jax.lax.dynamic_slice_in_dim(combine, off, e_loc, axis=1)
-        x_e = jnp.einsum("nec,nd->ecd", disp_l, h2, precision=hi)
-
-        def one(carry, inp):
-            x_slab, (w_up, s_up, b_up, w_down, s_down, b_down) = inp
-            y = _expert_ffn(
-                x_slab, w_up, s_up, b_up, w_down, s_down, b_down,
-                cfg.alpha, compute_dtype, use_kernel,
-            )
-            return carry, y
-
+        cap = max(8, -(-n // 8) * 8)
         stack = tuple(d["moe_" + k] for k in _EXPERT_KEYS)
-        _, y_e = jax.lax.scan(one, None, (x_e, stack))
-        y_part = jnp.einsum(
-            "nec,ecd->nd", comb_l, y_e.astype(h2.dtype), precision=hi
+        y = ep_ffn_body(
+            h2, d["router"], stack, cfg.moe, e_loc, cap,
+            compute_dtype, use_kernel,
         )
-        y = jax.lax.psum(y_part, MODEL_AXIS)
         return x_mid + y.reshape(bl, t, dm)
 
     return jax.shard_map(

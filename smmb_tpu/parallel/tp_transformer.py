@@ -62,24 +62,12 @@ def shard_block_tp(packed: dict, mesh: Mesh) -> dict:
     norm gains replicate.
     """
     _reject_lora(packed)
-    a = packed["attn"]
     col_b = NamedSharding(mesh, P(MODEL_AXIS))
     repl = NamedSharding(mesh, P())
     repl1 = NamedSharding(mesh, P(None))
 
-    attn = {}
-    for name in ("wq", "wk", "wv"):
-        attn[name] = shard_packed_columns(a[name], mesh)
-        attn[name + "_scale"] = jax.device_put(a[name + "_scale"], repl)
-        attn[name.replace("w", "b")] = jax.device_put(
-            a[name.replace("w", "b")], col_b
-        )
-    attn["wo"] = shard_packed_rows(a["wo"], mesh)
-    attn["wo_scale"] = jax.device_put(a["wo_scale"], repl)
-    attn["bo"] = jax.device_put(a["bo"], repl1)
-
     return {
-        "attn": attn,
+        "attn": shard_attn_megatron(packed["attn"], mesh),
         "w_up": shard_packed_columns(packed["w_up"], mesh),
         "s_up": jax.device_put(packed["s_up"], repl),
         "b_up": jax.device_put(packed["b_up"], col_b),
@@ -91,16 +79,37 @@ def shard_block_tp(packed: dict, mesh: Mesh) -> dict:
     }
 
 
+def shard_attn_megatron(a: dict, mesh: Mesh) -> dict:
+    """Megatron placement for one packed attention dict: column QKV
+    (biases follow their columns), row out-proj (bias replicated).
+    Shared by the dense TP block and the TP-EP MoE block."""
+    col_b = NamedSharding(mesh, P(MODEL_AXIS))
+    repl = NamedSharding(mesh, P())
+    repl1 = NamedSharding(mesh, P(None))
+    attn = {}
+    for name in ("wq", "wk", "wv"):
+        attn[name] = shard_packed_columns(a[name], mesh)
+        attn[name + "_scale"] = jax.device_put(a[name + "_scale"], repl)
+        attn[name.replace("w", "b")] = jax.device_put(
+            a[name.replace("w", "b")], col_b
+        )
+    attn["wo"] = shard_packed_rows(a["wo"], mesh)
+    attn["wo_scale"] = jax.device_put(a["wo_scale"], repl)
+    attn["bo"] = jax.device_put(a["bo"], repl1)
+    return attn
+
+
 def _reject_lora(packed: dict) -> None:
     """TP flattens packed dicts through fixed key lists; silently dropping
     ``*_lora`` adapters would serve the frozen base — refuse instead.
     MoE blocks are refused with a pointer rather than a KeyError."""
     if "moe" in packed:
         raise ValueError(
-            "MoE blocks are not supported on the tensor-parallel path — "
-            "serve MoE LMs single-device or pipeline-parallel "
-            "(parallel/pp_lm.py); expert parallelism for the MoE layer "
-            "is parallel/ep_moe.py"
+            "MoE blocks do not use the dense tensor-parallel path — use "
+            "parallel/tp_moe.py (shard_moe_block_tp / moe_block_forward_tp:"
+            " Megatron attention + expert-parallel FFN), or serve "
+            "sequence-parallel (parallel/sp_block.py), pipeline-parallel "
+            "(parallel/pp_lm.py), or single-device"
         )
     keys = list(packed) + list(packed.get("attn", ()))
     if any(k.endswith("_lora") for k in keys):
@@ -140,6 +149,52 @@ def _block_arrs_specs(packed: dict):
     return arrs, specs
 
 
+def attn_half_tp(
+    d: dict,
+    x: jax.Array,
+    attn_cfg,
+    eps: float,
+    ms: int,
+    compute_dtype,
+    use_kernel: bool,
+    precision,
+    qkv=None,
+    use_flash: bool = False,
+) -> jax.Array:
+    """Shared Megatron attention half (inside shard_map): local heads,
+    row out-proj, ONE psum; returns ``x + attention``. Used by the dense
+    TP block and the TP-EP MoE block (parallel/tp_moe.py).
+
+    ``qkv`` lets a prefill body pass in the projections it already
+    computed for the cache fill (as (B, T, H_local, hd) triples) instead
+    of paying the three column SpMMs twice."""
+    bl, t, dm = x.shape
+    d_loc = dm // ms
+    h_loc = attn_cfg.n_heads // ms
+    kvh_loc = attn_cfg.kv_heads // ms
+    lcfg = dataclasses.replace(
+        attn_cfg, d_model=d_loc, n_heads=h_loc, n_kv_heads=kvh_loc
+    )
+    if qkv is None:
+        h = rmsnorm(x, d["norm1"], eps).reshape(bl * t, dm)
+        qkv = _qkv_local(
+            d, h, bl, t, h_loc, kvh_loc, attn_cfg.head_dim,
+            compute_dtype, use_kernel, dm,
+        )
+    # merge heads back: _attention_math re-splits via lcfg (q at d_loc,
+    # k/v at the local kv width)
+    q, k, v = (a.reshape(bl, t, -1) for a in qkv)
+    att = _attention_math(
+        q, k, v, lcfg, precision=precision, use_flash=use_flash
+    )
+    part = _local_spmm(
+        att.reshape(bl * t, d_loc) * d["so"], d["wo"], None, None,
+        compute_dtype, use_kernel, d_loc,
+    )
+    att_out = jax.lax.psum(part, MODEL_AXIS) + d["bo"]
+    return x + att_out.reshape(bl, t, dm)
+
+
 def _block_body_tp(
     d: dict,
     x: jax.Array,
@@ -151,47 +206,21 @@ def _block_body_tp(
     qkv=None,
     use_flash: bool = False,
 ) -> jax.Array:
-    """Per-device block body (runs inside shard_map): local heads + 2 psums.
-
-    ``qkv`` lets a prefill body pass in the projections it already computed
-    for the cache fill (as (B, T, H_local, hd) triples) instead of paying
-    the three column SpMMs twice.
-    """
+    """Per-device block body (runs inside shard_map): local heads + 2 psums."""
     bl, t, dm = x.shape
-    d_loc = dm // ms
-    h_loc = cfg.attn.n_heads // ms
-    kvh_loc = cfg.attn.kv_heads // ms
-    lcfg = dataclasses.replace(
-        cfg.attn, d_model=d_loc, n_heads=h_loc, n_kv_heads=kvh_loc
+    x = attn_half_tp(
+        d, x, cfg.attn, cfg.eps, ms, compute_dtype, use_kernel, precision,
+        qkv=qkv, use_flash=use_flash,
     )
-
-    def row(inp, w, scale, rows):
-        # row-parallel partial: owned-K contraction, bias/epilogue deferred
-        # until after the cross-shard reduction
-        return _local_spmm(
-            inp * scale, w, None, None, compute_dtype, use_kernel, rows
-        )
-
-    if qkv is None:
-        h = rmsnorm(x, d["norm1"], cfg.eps).reshape(bl * t, dm)
-        qkv = _qkv_local(
-            d, h, bl, t, h_loc, kvh_loc, cfg.attn.head_dim,
-            compute_dtype, use_kernel, dm,
-        )
-    # merge heads back: _attention_math re-splits via lcfg (q at d_loc,
-    # k/v at the local kv width)
-    q, k, v = (a.reshape(bl, t, -1) for a in qkv)
-    att = _attention_math(q, k, v, lcfg, precision=precision, use_flash=use_flash)
-    part = row(att.reshape(bl * t, d_loc), d["wo"], d["so"], rows=d_loc)
-    att_out = jax.lax.psum(part, MODEL_AXIS) + d["bo"]
-    x = x + att_out.reshape(bl, t, dm)
-
     h2 = rmsnorm(x, d["norm2"], cfg.eps).reshape(bl * t, dm)
     up = _local_spmm(
         h2 * d["s_up"], d["w_up"], d["b_up"], cfg.alpha,
         compute_dtype, use_kernel, dm,
     )
-    part = row(up, d["w_down"], d["s_down"], rows=cfg.d_ff // ms)
+    part = _local_spmm(
+        up * d["s_down"], d["w_down"], None, None,
+        compute_dtype, use_kernel, cfg.d_ff // ms,
+    )
     down = jax.lax.psum(part, MODEL_AXIS) + d["b_down"]
     return x + down.reshape(bl, t, dm)
 

@@ -259,3 +259,27 @@ def test_moe_block_tp_ep_kernel_path():
     y = moe_block_forward_tp(sharded, x, cfg, mesh=mesh, use_kernel=True)
     tol = max(1e-3, 1e-4 * float(np.abs(ref).max()))
     np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
+
+
+def test_tp_ep_rejects_lora():
+    from smmb_tpu.models.lora import attach_lora, init_lora_lm
+    from smmb_tpu.models.moe_block import (
+        TernaryMoEBlockConfig, init_moe_block, pack_moe_block,
+    )
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.tp_moe import moe_block_forward_tp, shard_moe_block_tp
+
+    cfg = TernaryMoEBlockConfig(d_model=1024, n_heads=4, d_ff=512, n_experts=2)
+    packed = pack_moe_block(init_moe_block(jax.random.PRNGKey(30), cfg))
+    # hand-attach an adapter entry the way attach_lora does for blocks
+    adapted = dict(packed)
+    adapted["attn"] = dict(packed["attn"])
+    adapted["attn"]["wq_lora"] = (
+        jnp.zeros((1024, 2)), jnp.zeros((2, 1024)), jnp.float32(1.0)
+    )
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="TP-EP"):
+        shard_moe_block_tp(adapted, mesh)
+    x = jnp.zeros((1, 2, 1024))
+    with pytest.raises(ValueError, match="TP-EP"):
+        moe_block_forward_tp(adapted, x, cfg, mesh=mesh, use_kernel=False)
