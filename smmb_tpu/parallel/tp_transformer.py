@@ -100,28 +100,63 @@ def shard_attn_megatron(a: dict, mesh: Mesh) -> dict:
 
 
 def _reject_lora(packed: dict) -> None:
-    """TP flattens packed dicts through fixed key lists; silently dropping
-    ``*_lora`` adapters would serve the frozen base — refuse instead.
-    MoE blocks are refused with a pointer rather than a KeyError."""
+    """MoE blocks are refused from the dense TP path with a pointer
+    rather than a KeyError. (LoRA adapters ARE carried — see
+    _lora_arrs_specs — sharded A-replicated/B-column-split on column
+    layers and A-row-split/B-replicated on row layers.)"""
     if "moe" in packed:
         raise ValueError(
             "MoE blocks do not use the dense tensor-parallel path — use "
-            "parallel/tp_moe.py (shard_moe_block_tp / moe_block_forward_tp:"
-            " Megatron attention + expert-parallel FFN), or serve "
-            "sequence-parallel (parallel/sp_block.py), pipeline-parallel "
-            "(parallel/pp_lm.py), or single-device"
+            "parallel/tp_moe.py (Megatron attention + expert-parallel FFN:"
+            " forward/prefill/decode), which the LM-level TP entry points "
+            "dispatch to automatically via _tp_block_fns"
         )
-    keys = list(packed) + list(packed.get("attn", ()))
-    if any(k.endswith("_lora") for k in keys):
-        raise ValueError(
-            "LoRA adapters are not supported on the tensor-parallel path "
-            "yet — serve adapted models through the single-device API"
-        )
+
+
+# LoRA placement per adapted layer kind (models/lora.py attaches
+# ``(A (d_in, r), B (r, d_out), scale)`` tuples as ``<name>_lora``):
+# column-parallel base (wq/wk/wv/w_up) → B's output columns follow the
+# base columns, A replicated; row-parallel base (wo/w_down) → A's input
+# rows follow the base rows (the shard's x slice is the matching
+# contraction slice), B replicated, and the adapter partial rides the
+# base's existing psum. Either way the adapter adds zero collectives.
+_LORA_COL = ("wq", "wk", "wv", "w_up")
+_LORA_ROW = ("wo", "w_down")
+
+
+def _lora_spec(name: str):
+    base = name[: -len("_lora")]
+    if base in _LORA_COL:
+        return (P(None, None), P(None, MODEL_AXIS), P())
+    assert base in _LORA_ROW, name
+    return (P(MODEL_AXIS, None), P(None, None), P())
+
+
+def _lora_arrs_specs(src: dict, arrs: dict, specs: dict) -> None:
+    """Carry any ``*_lora`` entries of ``src`` into the flattened
+    (arrays, shard_map specs) dicts."""
+    for k, v in src.items():
+        if k.endswith("_lora"):
+            arrs[k] = v
+            specs[k] = _lora_spec(k)
+
+
+def _lora_add(d: dict, name: str, raw, y):
+    """Add the (shard-local) low-rank residual for layer ``name`` if an
+    adapter is attached: y += scale · (raw A) B. ``raw`` is the layer
+    input BEFORE the quantization scale (models/attention._proj's
+    contract). On row-parallel layers the result is a partial that the
+    caller's psum completes."""
+    la = d.get(name + "_lora")
+    if la is None:
+        return y
+    a, b, sc = la
+    return y + jnp.matmul(jnp.matmul(raw, a), b) * sc
 
 
 def _block_arrs_specs(packed: dict):
-    """Flatten a (sharded) packed block into (arrays, shard_map specs).
-    Rejects LoRA-adapted dicts (the fixed key list would drop adapters)."""
+    """Flatten a (sharded) packed block into (arrays, shard_map specs);
+    ``*_lora`` adapter entries are carried with their own specs."""
     _reject_lora(packed)
     a = packed["attn"]
     arrs = {
@@ -146,6 +181,8 @@ def _block_arrs_specs(packed: dict):
         "b_up": P(MODEL_AXIS), "b_down": P(None),
         "norm1": P(None), "norm2": P(None),
     }
+    _lora_arrs_specs(a, arrs, specs)
+    _lora_arrs_specs(packed, arrs, specs)
     return arrs, specs
 
 
@@ -340,37 +377,50 @@ def _qkv_local(
     )
 
 
-def _block_decode_body_tp(
-    d, x_t, cache, cfg, ms, compute_dtype, use_kernel, precision
+def attn_decode_half_tp(
+    d, x_t, cache, attn_cfg, eps, ms, compute_dtype, use_kernel, precision
 ):
-    """Per-device decode body: local-head cache attention + 2 psums.
-    ``cache`` is the shard-local dict view; the write/read helpers from
-    models/attention handle the plain and int8-quantized layouts alike."""
+    """Shared Megatron attention *decode* half (inside shard_map):
+    shard-local cache write + local-head cache attention + row out-proj,
+    ONE psum; returns ``(x + attention, cache)``. ``cache`` is the
+    shard-local dict view; the write/read helpers from models/attention
+    handle the plain and int8-quantized layouts alike. Used by the dense
+    TP decode body and the TP-EP MoE decode body (parallel/tp_moe.py)."""
     bl, one, dm = x_t.shape
-    h_loc = cfg.attn.n_heads // ms
-    kvh_loc = cfg.attn.kv_heads // ms
-    hd = cfg.attn.head_dim
+    h_loc = attn_cfg.n_heads // ms
+    kvh_loc = attn_cfg.kv_heads // ms
+    hd = attn_cfg.head_dim
     pos = cache["pos"]
 
-    h = rmsnorm(x_t, d["norm1"], cfg.eps).reshape(bl, dm)
+    h = rmsnorm(x_t, d["norm1"], eps).reshape(bl, dm)
     q, k, v = _qkv_local(
         d, h, bl, one, h_loc, kvh_loc, hd, compute_dtype, use_kernel, dm
     )
-    if cfg.attn.rope:
-        q = apply_rope(q, pos + jnp.arange(1), cfg.attn.rope_theta)
-        k = apply_rope(k, pos + jnp.arange(1), cfg.attn.rope_theta)
+    if attn_cfg.rope:
+        q = apply_rope(q, pos + jnp.arange(1), attn_cfg.rope_theta)
+        k = apply_rope(k, pos + jnp.arange(1), attn_cfg.rope_theta)
     cache = _cache_write(cache, k, v, pos)
     kc, vc = _cache_kv(cache)
     att = _decode_attention_math(
-        q, kc, vc, pos, hd, precision=precision, window=cfg.attn.window
+        q, kc, vc, pos, hd, precision=precision, window=attn_cfg.window
     )
     part = _local_spmm(
         att.reshape(bl, h_loc * hd) * d["so"], d["wo"], None, None,
         compute_dtype, use_kernel, dm // ms,
     )
     att_out = jax.lax.psum(part, MODEL_AXIS) + d["bo"]
-    x = x_t + att_out.reshape(bl, one, dm)
+    return x_t + att_out.reshape(bl, one, dm), cache
 
+
+def _block_decode_body_tp(
+    d, x_t, cache, cfg, ms, compute_dtype, use_kernel, precision
+):
+    """Per-device decode body: local-head cache attention + 2 psums."""
+    bl, one, dm = x_t.shape
+    x, cache = attn_decode_half_tp(
+        d, x_t, cache, cfg.attn, cfg.eps, ms, compute_dtype, use_kernel,
+        precision,
+    )
     h2 = rmsnorm(x, d["norm2"], cfg.eps).reshape(bl, dm)
     up = _local_spmm(
         h2 * d["s_up"], d["w_up"], d["b_up"], cfg.alpha,
@@ -483,15 +533,42 @@ def block_prefill_tp(
 # ---------------------------------------------------------------------------
 
 
+def _tp_block_fns(packed_block: dict) -> dict:
+    """TP block-function table keyed on the packed dict's kind: dense
+    (this module — Megatron) or MoE (parallel/tp_moe.py — Megatron
+    attention + expert-parallel FFN). The TP analog of
+    models/lm.TernaryLMConfig._blk: this one indirection lets the whole
+    TP serving stack (lm forward/prefill/decode/generate_tp) run MoE LMs
+    unchanged. Lazy import — tp_moe imports this module."""
+    if "moe" in packed_block:
+        from smmb_tpu.parallel import tp_moe as m
+
+        return {
+            "shard": m.shard_moe_block_tp,
+            "forward": m.moe_block_forward_tp,
+            "prefill": m.moe_block_prefill_tp,
+            "decode": m.moe_block_decode_step_tp,
+        }
+    return {
+        "shard": shard_block_tp,
+        "forward": block_forward_tp,
+        "prefill": block_prefill_tp,
+        "decode": block_decode_step_tp,
+    }
+
+
 def shard_lm_tp(packed: dict, mesh: Mesh) -> dict:
     """Place a packed LM (models/lm.pack_lm) on the mesh: every block TP-
-    sharded, LM head column-sharded (vocab split), embeddings replicated."""
+    sharded (dense Megatron or TP-EP MoE, keyed per block), LM head
+    column-sharded (vocab split), embeddings replicated."""
     repl1 = NamedSharding(mesh, P(None))
     repl2 = NamedSharding(mesh, P(None, None))
     return {
         "embed": jax.device_put(packed["embed"], repl2),
         "pos": jax.device_put(packed["pos"], repl2),
-        "blocks": [shard_block_tp(b, mesh) for b in packed["blocks"]],
+        "blocks": [
+            _tp_block_fns(b)["shard"](b, mesh) for b in packed["blocks"]
+        ],
         "norm_f": jax.device_put(packed["norm_f"], repl1),
         "head": shard_packed_columns(packed["head"], mesh),
         "head_scale": jax.device_put(
@@ -527,7 +604,7 @@ def lm_forward_tp(
     b, t = tokens.shape
     x = packed["embed"][tokens] + packed["pos"][None, :t]
     for blk in packed["blocks"]:
-        x = block_forward_tp(
+        x = _tp_block_fns(blk)["forward"](
             blk, x, cfg.block, mesh=mesh,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
             precision=precision, use_flash=use_flash,
@@ -597,7 +674,7 @@ def lm_prefill_tp(
     x = packed["embed"][tokens] + packed["pos"][None, :t]
     new_cache = []
     for blk, c in zip(packed["blocks"], cache):
-        x, c = block_prefill_tp(
+        x, c = _tp_block_fns(blk)["prefill"](
             blk, x, c, cfg.block, mesh=mesh,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
             precision=precision, use_flash=use_flash,
@@ -628,7 +705,7 @@ def lm_decode_step_tp(
     x = packed["embed"][token_t][:, None, :] + packed["pos"][pos][None, None]
     new_cache = []
     for blk, c in zip(packed["blocks"], cache):
-        x, c = block_decode_step_tp(
+        x, c = _tp_block_fns(blk)["decode"](
             blk, x, c, cfg.block, mesh=mesh,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
             precision=precision,

@@ -261,6 +261,93 @@ def test_moe_block_tp_ep_kernel_path():
     np.testing.assert_allclose(np.asarray(y), ref, atol=tol, rtol=0)
 
 
+def test_moe_block_tp_ep_decode_matches_forward():
+    """TP-EP serving decode (head-sharded cache + shard-local expert
+    routing) == the full TP-EP forward at every position."""
+    from smmb_tpu.models.moe_block import (
+        TernaryMoEBlockConfig, init_moe_block, moe_block_forward,
+        pack_moe_block,
+    )
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.tp_moe import (
+        init_moe_block_cache_tp, moe_block_decode_step_tp,
+        moe_block_prefill_tp, shard_moe_block_tp,
+    )
+    from smmb_tpu.utils import rng
+
+    cfg = TernaryMoEBlockConfig(
+        d_model=1024, n_heads=4, d_ff=512, n_experts=4, top_k=2,
+        n_kv_heads=2, rope=True,
+    )
+    packed = pack_moe_block(init_moe_block(jax.random.PRNGKey(40), cfg))
+    x = rng.rand_dense(jax.random.PRNGKey(41), (2, 10, 1024)) * 0.1
+    ref = np.asarray(
+        moe_block_forward(packed, x, cfg, use_kernel=False, precision=HI)
+    )
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = shard_moe_block_tp(packed, mesh)
+    cache = init_moe_block_cache_tp(cfg, 2, 16, mesh)
+    y, cache = moe_block_prefill_tp(
+        sharded, x[:, :6], cache, cfg, mesh=mesh, use_kernel=False,
+        precision=HI,
+    )
+    tol = max(1e-4, 5e-5 * float(np.abs(ref).max()))
+    np.testing.assert_allclose(
+        np.asarray(y), ref[:, :6], atol=tol, rtol=0, err_msg="prefill"
+    )
+    for i in range(6, 10):
+        y, cache = moe_block_decode_step_tp(
+            sharded, x[:, i : i + 1], cache, cfg, mesh=mesh,
+            use_kernel=False, precision=HI,
+        )
+        np.testing.assert_allclose(
+            np.asarray(y[:, 0]), ref[:, i], atol=tol, rtol=0,
+            err_msg=f"decode step {i}",
+        )
+
+
+def test_moe_lm_generate_tp_matches_single():
+    """generate_tp over a MoE LM (TP-EP blocks dispatched by
+    _tp_block_fns) == single-device greedy generate."""
+    from smmb_tpu.models.lm import generate
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.tp_transformer import generate_tp, shard_lm_tp
+
+    cfg = TernaryLMConfig(
+        vocab=512, d_model=1024, n_heads=4, d_ff=512, n_layers=2,
+        max_len=32, n_experts=2, top_k=1, n_kv_heads=2,
+    )
+    packed = pack_lm(init_lm(jax.random.PRNGKey(42), cfg))
+    prompt = jax.random.randint(jax.random.PRNGKey(43), (2, 6), 0, cfg.vocab)
+    ref = generate(packed, prompt, cfg, steps=5, use_kernel=False)
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = shard_lm_tp(packed, mesh)
+    got = generate_tp(
+        sharded, prompt, cfg, steps=5, mesh=mesh, use_kernel=False
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_moe_lm_generate_tp_kv_quant_runs():
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.tp_transformer import generate_tp, shard_lm_tp
+
+    cfg = TernaryLMConfig(
+        vocab=512, d_model=1024, n_heads=4, d_ff=512, n_layers=1,
+        max_len=32, n_experts=2, top_k=1,
+    )
+    packed = pack_lm(init_lm(jax.random.PRNGKey(44), cfg))
+    prompt = jax.random.randint(jax.random.PRNGKey(45), (2, 4), 0, cfg.vocab)
+    mesh = make_mesh(1, 2, devices=jax.devices()[:2])
+    sharded = shard_lm_tp(packed, mesh)
+    got = generate_tp(
+        sharded, prompt, cfg, steps=4, mesh=mesh, use_kernel=False,
+        kv_quant=True,
+    )
+    assert got.shape == (2, 4)
+    assert bool(jnp.all((got >= 0) & (got < cfg.vocab)))
+
+
 def test_tp_ep_rejects_lora():
     from smmb_tpu.models.lora import attach_lora, init_lora_lm
     from smmb_tpu.models.moe_block import (
