@@ -42,6 +42,7 @@ from smmb_tpu.models.attention import (
     apply_rope,
 )
 from smmb_tpu.models.transformer import TernaryBlockConfig, rmsnorm
+from smmb_tpu.ops.dense import prelu
 from smmb_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from smmb_tpu.parallel.sharded import (
     _local_spmm,
@@ -66,7 +67,7 @@ def shard_block_tp(packed: dict, mesh: Mesh) -> dict:
     repl = NamedSharding(mesh, P())
     repl1 = NamedSharding(mesh, P(None))
 
-    return {
+    out = {
         "attn": shard_attn_megatron(packed["attn"], mesh),
         "w_up": shard_packed_columns(packed["w_up"], mesh),
         "s_up": jax.device_put(packed["s_up"], repl),
@@ -77,6 +78,8 @@ def shard_block_tp(packed: dict, mesh: Mesh) -> dict:
         "norm1": jax.device_put(packed["norm1"], repl1),
         "norm2": jax.device_put(packed["norm2"], repl1),
     }
+    _shard_lora_entries(packed, out, mesh)
+    return out
 
 
 def shard_attn_megatron(a: dict, mesh: Mesh) -> dict:
@@ -96,7 +99,20 @@ def shard_attn_megatron(a: dict, mesh: Mesh) -> dict:
     attn["wo"] = shard_packed_rows(a["wo"], mesh)
     attn["wo_scale"] = jax.device_put(a["wo_scale"], repl)
     attn["bo"] = jax.device_put(a["bo"], repl1)
+    _shard_lora_entries(a, attn, mesh)
     return attn
+
+
+def _shard_lora_entries(src: dict, dst: dict, mesh: Mesh) -> None:
+    """Place any ``*_lora`` (A, B, scale) entries of ``src`` into ``dst``
+    with their TP shardings (_lora_spec): column-parallel base → B
+    column-split; row-parallel base → A row-split."""
+    for k, v in src.items():
+        if k.endswith("_lora"):
+            dst[k] = tuple(
+                jax.device_put(arr, NamedSharding(mesh, sp))
+                for arr, sp in zip(v, _lora_spec(k))
+            )
 
 
 def _reject_lora(packed: dict) -> None:
@@ -224,10 +240,14 @@ def attn_half_tp(
     att = _attention_math(
         q, k, v, lcfg, precision=precision, use_flash=use_flash
     )
+    att_flat = att.reshape(bl * t, d_loc)
     part = _local_spmm(
-        att.reshape(bl * t, d_loc) * d["so"], d["wo"], None, None,
+        att_flat * d["so"], d["wo"], None, None,
         compute_dtype, use_kernel, d_loc,
     )
+    # row-parallel LoRA: A row-split (the shard's att slice is the
+    # matching contraction slice), partial rides the existing psum
+    part = _lora_add(d, "wo", att_flat, part)
     att_out = jax.lax.psum(part, MODEL_AXIS) + d["bo"]
     return x + att_out.reshape(bl, t, dm)
 
@@ -250,16 +270,36 @@ def _block_body_tp(
         qkv=qkv, use_flash=use_flash,
     )
     h2 = rmsnorm(x, d["norm2"], cfg.eps).reshape(bl * t, dm)
-    up = _local_spmm(
-        h2 * d["s_up"], d["w_up"], d["b_up"], cfg.alpha,
-        compute_dtype, use_kernel, dm,
-    )
+    part = _mlp_half_tp(d, h2, cfg, ms, compute_dtype, use_kernel)
+    down = jax.lax.psum(part, MODEL_AXIS) + d["b_down"]
+    return x + down.reshape(bl, t, dm)
+
+
+def _mlp_half_tp(d, h2, cfg, ms, compute_dtype, use_kernel):
+    """Shard-local MLP half on flattened (rows, d_model) input; returns
+    the pre-psum down-projection partial (bias added after the psum).
+
+    When a ``w_up_lora`` adapter is attached the PReLU epilogue cannot
+    stay fused in the base spmm (the residual adds pre-activation —
+    models/transformer._mlp_half's rule); the base then runs
+    epilogue-free and PReLU is applied after the add."""
+    dm = h2.shape[-1]
+    if d.get("w_up_lora") is None:
+        up = _local_spmm(
+            h2 * d["s_up"], d["w_up"], d["b_up"], cfg.alpha,
+            compute_dtype, use_kernel, dm,
+        )
+    else:
+        pre = _local_spmm(
+            h2 * d["s_up"], d["w_up"], d["b_up"], None,
+            compute_dtype, use_kernel, dm,
+        )
+        up = prelu(_lora_add(d, "w_up", h2, pre), cfg.alpha)
     part = _local_spmm(
         up * d["s_down"], d["w_down"], None, None,
         compute_dtype, use_kernel, cfg.d_ff // ms,
     )
-    down = jax.lax.psum(part, MODEL_AXIS) + d["b_down"]
-    return x + down.reshape(bl, t, dm)
+    return _lora_add(d, "w_down", up, part)
 
 
 @functools.partial(
@@ -365,16 +405,16 @@ def _qkv_local(
     exactly its own KV heads (head j reads kv j//G, and contiguous
     head-range shards preserve that mapping), so attention stays local."""
 
-    def col(w, bias, scale, heads):
-        return _local_spmm(
-            h2 * scale, w, bias, None, compute_dtype, use_kernel, dm
-        ).reshape(bl, t, heads, hd)
+    def col(name, heads):
+        y = _local_spmm(
+            h2 * d["s" + name[1:]], d[name], d["b" + name[1:]], None,
+            compute_dtype, use_kernel, dm,
+        )
+        # column-parallel LoRA: A replicated, B column-split — the
+        # shard-local residual lands exactly on the local output slice
+        return _lora_add(d, name, h2, y).reshape(bl, t, heads, hd)
 
-    return (
-        col(d["wq"], d["bq"], d["sq"], h_loc),
-        col(d["wk"], d["bk"], d["sk"], kvh_loc),
-        col(d["wv"], d["bv"], d["sv"], kvh_loc),
-    )
+    return (col("wq", h_loc), col("wk", kvh_loc), col("wv", kvh_loc))
 
 
 def attn_decode_half_tp(
@@ -404,10 +444,12 @@ def attn_decode_half_tp(
     att = _decode_attention_math(
         q, kc, vc, pos, hd, precision=precision, window=attn_cfg.window
     )
+    att_flat = att.reshape(bl, h_loc * hd)
     part = _local_spmm(
-        att.reshape(bl, h_loc * hd) * d["so"], d["wo"], None, None,
+        att_flat * d["so"], d["wo"], None, None,
         compute_dtype, use_kernel, dm // ms,
     )
+    part = _lora_add(d, "wo", att_flat, part)
     att_out = jax.lax.psum(part, MODEL_AXIS) + d["bo"]
     return x_t + att_out.reshape(bl, one, dm), cache
 
@@ -422,14 +464,7 @@ def _block_decode_body_tp(
         precision,
     )
     h2 = rmsnorm(x, d["norm2"], cfg.eps).reshape(bl, dm)
-    up = _local_spmm(
-        h2 * d["s_up"], d["w_up"], d["b_up"], cfg.alpha,
-        compute_dtype, use_kernel, dm,
-    )
-    part = _local_spmm(
-        up * d["s_down"], d["w_down"], None, None,
-        compute_dtype, use_kernel, cfg.d_ff // ms,
-    )
+    part = _mlp_half_tp(d, h2, cfg, ms, compute_dtype, use_kernel)
     down = jax.lax.psum(part, MODEL_AXIS) + d["b_down"]
     return x + down.reshape(bl, one, dm), cache
 

@@ -103,21 +103,84 @@ def test_lora_rejects_bad_targets_and_mismatch():
         attach_lora(packed, ad[:1])
 
 
-def test_lora_rejected_on_sharded_paths():
-    """TP/SP partitioners refuse adapted models instead of silently
-    serving the frozen base."""
+def test_lora_rejected_on_sp_path():
+    """The SP partitioner refuses adapted models instead of silently
+    serving the frozen base (TP *carries* adapters — tests below; TP-EP
+    rejection is covered in test_moe_lm)."""
     from smmb_tpu.parallel import make_mesh
     from smmb_tpu.parallel.sp_block import block_forward_sp
-    from smmb_tpu.parallel.tp_transformer import shard_block_tp
 
     packed, _ = _setup(9)
     adapters = init_lora_lm(jax.random.PRNGKey(10), CFG, rank=2)
     model = attach_lora(packed, adapters)
     mesh = make_mesh(1, 2, devices=jax.devices()[:2])
-    with pytest.raises(ValueError, match="tensor-parallel"):
-        shard_block_tp(model["blocks"][0], mesh)
     x = jnp.zeros((1, 4, CFG.d_model))
     with pytest.raises(ValueError, match="sequence-parallel"):
         block_forward_sp(
             model["blocks"][0], x, CFG.block, mesh=mesh, use_kernel=False
         )
+
+
+# TP needs ≥128 packed columns per shard — a wider config than CFG
+TP_CFG = TernaryLMConfig(
+    vocab=64, d_model=256, n_heads=2, d_ff=512, n_layers=2, max_len=32,
+)
+
+
+def test_lora_tp_forward_matches_single():
+    """TP serves LoRA-adapted models: adapters are carried through
+    shard_block_tp / shard_lm_tp with zero extra collectives, and the
+    TP forward matches the single-device adapted forward — on every
+    adapted layer kind (column QKV, row wo/w_down, pre-activation w_up)."""
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.tp_transformer import lm_forward_tp, shard_lm_tp
+
+    packed = pack_lm(init_lm(jax.random.PRNGKey(30), TP_CFG))
+    adapters = init_lora_lm(
+        jax.random.PRNGKey(31), TP_CFG, rank=4,
+        targets=("wq", "wk", "wv", "wo", "w_up", "w_down"),
+    )
+    # non-zero B so the adapters actually change the output
+    adapters = jax.tree.map(
+        lambda a: a + 0.05 * jnp.sin(jnp.arange(a.size, dtype=jnp.float32)
+                                     ).reshape(a.shape),
+        adapters,
+    )
+    model = attach_lora(packed, adapters)
+    toks = jax.random.randint(jax.random.PRNGKey(32), (2, 8), 0, TP_CFG.vocab)
+    ref = np.asarray(lm_forward(model, toks, TP_CFG, use_kernel=False))
+    base = np.asarray(lm_forward(packed, toks, TP_CFG, use_kernel=False))
+    assert np.max(np.abs(ref - base)) > 1e-3  # adapters are live
+
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = shard_lm_tp(model, mesh)
+    y = np.asarray(
+        lm_forward_tp(sharded, toks, TP_CFG, mesh=mesh, use_kernel=False)
+    )
+    tol = 2e-4 * max(1.0, float(np.max(np.abs(ref))))
+    assert np.max(np.abs(y - ref)) < tol, np.max(np.abs(y - ref))
+
+
+def test_lora_tp_generate_matches_single():
+    """TP prefill + head-sharded-cache decode pick the adapters up:
+    generate_tp on the adapted model reproduces single-device generate."""
+    from smmb_tpu.parallel import make_mesh
+    from smmb_tpu.parallel.tp_transformer import generate_tp, shard_lm_tp
+
+    packed = pack_lm(init_lm(jax.random.PRNGKey(33), TP_CFG))
+    adapters = init_lora_lm(jax.random.PRNGKey(34), TP_CFG, rank=4,
+                            targets=("wq", "wv", "wo", "w_down"))
+    adapters = jax.tree.map(
+        lambda a: a + 0.05 * jnp.cos(jnp.arange(a.size, dtype=jnp.float32)
+                                     ).reshape(a.shape),
+        adapters,
+    )
+    model = attach_lora(packed, adapters)
+    toks = jax.random.randint(jax.random.PRNGKey(35), (2, 8), 0, TP_CFG.vocab)
+    g_ref = np.asarray(generate(model, toks, TP_CFG, steps=6,
+                                use_kernel=False))
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    sharded = shard_lm_tp(model, mesh)
+    g_tp = np.asarray(generate_tp(sharded, toks, TP_CFG, 6, mesh=mesh,
+                                  use_kernel=False))
+    assert (g_tp == g_ref).all()
