@@ -18,12 +18,22 @@ run() { # name timeout cmd...
   rc=$?
   grep -v WARNING bench_out/"$name".txt | tail -20
   echo "--- $name exit=$rc (124=timeout) ---" | tee -a bench_out/r2f_hw.log
+  return $rc
 }
 
+# Reference invariant (main.cpp:317-320, SparseGEMM.cpp:116-118): never
+# time a kernel that failed validation. verify_flash exits non-zero on a
+# parity FAIL; its timing consumer (bench_flash) is then skipped and the
+# stale artifact replaced by an INVALID marker.
 # 1) flash kernel: on-chip parity vs f64 oracle + timing point
-run verify_flash 900 python scripts/verify_flash.py
-# 2) flash vs einsum at long context (T=4096 MHA, T=8192 GQA)
-run bench_flash 1200 python scripts/bench_flash.py
+if run verify_flash 900 python scripts/verify_flash.py; then
+  # 2) flash vs einsum at long context (T=4096 MHA, T=8192 GQA)
+  run bench_flash 1200 python scripts/bench_flash.py
+else
+  echo "SKIP bench_flash: verify_flash FAILED" | tee -a bench_out/r2f_hw.log
+  echo "INVALID: verify_flash failed parity; no timing published" \
+    > bench_out/bench_flash.txt
+fi
 # 3) speculative decoding: plain vs spec-self vs spec-draft
 run spec_bench 1200 python -m smmb_tpu spec --steps 64 --k 4
 # 4) LM generate sanity (should still be ~85 us/tok batch-1)

@@ -55,8 +55,21 @@ for h in range(H):
     p /= p.sum(-1, keepdims=True)
     want[:, h] = p @ vn[:, h // g]
 
+FAILED = False
+
+
+def gate(name, err, tol=1e-5):
+    """Reference invariant (main.cpp:317-320): a kernel that fails its
+    oracle never gets a published timing number — record the FAIL and make
+    the process exit non-zero so the runner can gate dependent steps."""
+    global FAILED
+    ok = err < tol
+    t(f"{name}: err={err:.2e} " + ("PASS" if ok else "FAIL"))
+    FAILED = FAILED or not ok
+
+
 err = np.abs(y - want).max()
-t(f"parity vs f64 oracle: err={err:.2e} " + ("PASS" if err < 1e-5 else "FAIL"))
+gate("parity vs f64 oracle", err)
 
 t("compiling flash with sliding window (W=256, tile skip active)...")
 yw = np.asarray(flash_attention(q, k, v, causal=True, window=256))
@@ -71,8 +84,11 @@ for h in range(H):
     p /= p.sum(-1, keepdims=True)
     want_w[:, h] = p @ vn[:, h // g]
 err_w = np.abs(yw - want_w).max()
-t(f"window parity: err={err_w:.2e} "
-  + ("PASS" if err_w < 1e-5 else "FAIL"))
+gate("window parity", err_w)
+
+if FAILED:
+    t("VALIDATION FAILED — refusing to publish timing numbers")
+    raise SystemExit(1)
 
 t("bf16 timing points (B1 H8/KV2 T1024; full causal vs window 256)...")
 qb, kb, vb = (a.astype(jnp.bfloat16) for a in (q, k, v))

@@ -26,10 +26,12 @@ TPU-first design notes:
 * Masked lanes use a large-negative finite (-1e30), not -inf: -inf - -inf
   = NaN would poison the running-max rescale on fully masked rows (the
   padded tail of a non-multiple T).
-* f32 inputs run the score dot at HIGHEST precision (same rationale as
-  packed_spmm: the MXU otherwise demotes f32 to single-pass bf16); the
-  probability·V dot always runs in V's dtype with f32 accumulation, exactly
-  like the jnp path's ``probs.astype(v.dtype)``.
+* f32 inputs run BOTH dots (scores and probability·V) at HIGHEST precision
+  (same rationale as packed_spmm: the MXU otherwise demotes f32 to
+  single-pass bf16 — ~1e-3 error, the round-2 on-chip parity failure). The
+  probability·V dot still runs in V's dtype with f32 accumulation, like the
+  jnp path's ``probs.astype(v.dtype)``; on the bf16 path DEFAULT precision
+  is the native single pass.
 """
 
 from __future__ import annotations
@@ -105,8 +107,14 @@ def _flash_kernel(
         p = jnp.exp(scores - m_new)
         l_new = l_ref[:, :1] * rescale + jnp.sum(p, axis=-1, keepdims=True)
         v = v_ref[0]
+        # precision must be threaded here too: on f32 inputs a bare dot
+        # demotes to single-pass bf16 on the MXU (~1e-3 error — the exact
+        # on-chip parity failure round 2 committed in verify_flash.txt)
         acc_ref[:] = acc_ref[:] * rescale + jnp.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            p.astype(v.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+            precision=precision,
         )
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)

@@ -121,9 +121,10 @@ def test_lora_rejected_on_sp_path():
         )
 
 
-# TP needs ≥128 packed columns per shard — a wider config than CFG
+# TP needs ≥128 packed columns per shard and row-sharded K a multiple of
+# GROUP_ROWS(512)·shards — sized like test_tp.py's working configs
 TP_CFG = TernaryLMConfig(
-    vocab=64, d_model=256, n_heads=2, d_ff=512, n_layers=2, max_len=32,
+    vocab=256, d_model=1024, n_heads=4, d_ff=1024, n_layers=2, max_len=32,
 )
 
 
