@@ -41,6 +41,12 @@ _CANDIDATES = [
     {"block_m": 256, "block_n": 1024, "block_k": 512},
     {"block_m": 256, "block_n": 1024, "block_k": 1024},
     {"block_m": 128, "block_n": 512, "block_k": 2048},
+    # wide-N shallow-K regime (round-3 find: 50.2us headline vs 55.6 for
+    # bn512/bk2048 — scripts/probe_r3_tiles.py 2026-08-19); bn4096 OOMs
+    # VMEM for f32 compute, the kernel's heuristic gates it to bf16
+    {"block_m": 256, "block_n": 2048, "block_k": 512},
+    {"block_m": 256, "block_n": 2048, "block_k": 1024},
+    {"block_m": 256, "block_n": 4096, "block_k": 512},
 ]
 
 # int8 (W2A8) serving mode: the int8 MXU halves matmul time, so the decode

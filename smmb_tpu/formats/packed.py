@@ -136,6 +136,26 @@ def pack_ternary_device(t: jax.Array, nnz: int = -1) -> TernaryPacked:
     return TernaryPacked(data=_pack_groups(ti), rows=rows, cols=cols, nnz=nnz)
 
 
+def concat_packed_cols(mats: list[TernaryPacked]) -> TernaryPacked:
+    """Column-concatenate packed matrices sharing a row count.
+
+    The 2-bit packing is column-independent (each byte holds 4 row-values
+    of ONE column — _pack_groups), so fusing [Wq | Wk | Wv] is a plain
+    axis-1 concat of the packed words. Serving decode uses this to run the
+    QKV projections as ONE weight-streaming kernel call per step instead
+    of three (models/attention._proj_qkv)."""
+    rows = {m.rows for m in mats}
+    if len(rows) != 1:
+        raise ValueError(f"row mismatch across packed matrices: {rows}")
+    nnz = -1 if any(m.nnz < 0 for m in mats) else sum(m.nnz for m in mats)
+    return TernaryPacked(
+        data=jnp.concatenate([m.data for m in mats], axis=1),
+        rows=mats[0].rows,
+        cols=sum(m.cols for m in mats),
+        nnz=nnz,
+    )
+
+
 def decode_words(words: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Decode packed words covering whole groups → dense logical rows.
 

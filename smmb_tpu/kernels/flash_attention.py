@@ -76,7 +76,7 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def body():
+    def body(masked):
         q = q_ref[0]
         k = k_ref[0]
         # scores: (BQ, BS) = q @ k^T, f32 accumulation on the MXU
@@ -87,19 +87,25 @@ def _flash_kernel(
             preferred_element_type=jnp.float32,
             precision=precision,
         ) * scale
-        col = s * block_kv + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_kv), 1
-        )
-        live = col < s_len
-        if causal:
-            row = i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_kv), 0
+        if masked:
+            # iota + compare + where are ~4 VPU ops per score element —
+            # only boundary tiles (diagonal, window lower edge, s_len
+            # tail) pay them; interior tiles take the unmasked body
+            # (measured: the masked-everywhere kernel was VPU-bound at
+            # 0.22 of MXU peak, T=4096 causal MHA)
+            col = s * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
             )
-            live = jnp.logical_and(live, row >= col)
-            if window is not None:
-                # sliding window: row attends (row - window, row]
-                live = jnp.logical_and(live, col > row - window)
-        scores = jnp.where(live, scores, _NEG)
+            live = col < s_len
+            if causal:
+                row = i * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_kv), 0
+                )
+                live = jnp.logical_and(live, row >= col)
+                if window is not None:
+                    # sliding window: row attends (row - window, row]
+                    live = jnp.logical_and(live, col > row - window)
+            scores = jnp.where(live, scores, _NEG)
 
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
@@ -119,6 +125,9 @@ def _flash_kernel(
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
+    # padded tail tiles exist only when S doesn't divide by the KV block
+    pad = ns * block_kv > s_len
+
     if causal:
         # tiles entirely above the diagonal — or entirely below the
         # sliding window — are skipped: the index map re-used an already
@@ -129,13 +138,37 @@ def _flash_kernel(
                 live_tile,
                 s * block_kv + block_kv - 1 > i * block_q - window,
             )
+        # fully-live interior tiles take the unmasked body: below the
+        # diagonal, above the window lower edge, clear of the padded tail
+        full = i * block_q >= s * block_kv + block_kv - 1
+        if window is not None:
+            full = jnp.logical_and(
+                full, s * block_kv > i * block_q + block_q - 1 - window
+            )
+        if pad:
+            full = jnp.logical_and(full, (s + 1) * block_kv <= s_len)
 
-        @pl.when(live_tile)
+        @pl.when(jnp.logical_and(live_tile, full))
         def _():
-            body()
+            body(False)
+
+        @pl.when(jnp.logical_and(live_tile, jnp.logical_not(full)))
+        def _():
+            body(True)
+
+    elif pad:
+        is_tail = (s + 1) * block_kv > s_len
+
+        @pl.when(is_tail)
+        def _():
+            body(True)
+
+        @pl.when(jnp.logical_not(is_tail))
+        def _():
+            body(False)
 
     else:
-        body()
+        body(False)
 
     @pl.when(s == ns - 1)
     def _():
@@ -204,8 +237,17 @@ def flash_attention(
         scale = 1.0 / hd ** 0.5
 
     sub = 16 if q.dtype == jnp.bfloat16 else 8
-    bq = block_q if block_q is not None else min(256, round_up(t, sub))
-    bs = block_kv if block_kv is not None else min(512, round_up(s_len, 128))
+    # tuned on v5e at T=4096 causal MHA bf16 (scripts/probe_flash_tiles.py,
+    # 2026-08-19): 1024/1024 = 691.6us (0.50 of MXU peak) vs the round-2
+    # guesses 256/512 = 1597.6us (0.22) — the Pallas grid is sequential on
+    # one core, so larger tiles only amortize per-step VPU/control overhead
+    bq = block_q if block_q is not None else min(1024, round_up(t, sub))
+    # same default for the window path: narrow KV tiles would skip more
+    # masked work but per-step overhead dominates (W=256 T=1024 measured
+    # 134us at bkv=256 vs 36us at 1024/1024); at long T the tile skip
+    # still bounds live tiles per q-row-block at ~(window+bq)/bs + 1,
+    # keeping the O(T·window) cost model
+    bs = block_kv if block_kv is not None else min(1024, round_up(s_len, 128))
     tp = round_up(t, bq)
     sp = round_up(s_len, bs)
     hp = round_up(hd, 128)

@@ -267,8 +267,11 @@ def packed_spmm(
         either way — error comes only from casting X).
       block_m/n/k: VMEM tile sizes; None picks a measured heuristic —
         small batches (M<=32, weight-streaming-bound) run best with larger
-        1024x1024 K/N tiles (fewer grid steps per byte of weight traffic),
-        large batches with 512x512 tiles (v5e sweep, docs/DESIGN.md).
+        1024x1024 K/N tiles (fewer grid steps per byte of weight traffic);
+        large compute-bound bf16 batches at wide N / deep K with a
+        full-width 4096xN tile and shallow 512-K steps (v5e 2026-08-19:
+        50.2us vs 55.6us on the 256x4096x4096 headline); other large
+        batches with 512x2048 N/K tiles (v5e sweep, docs/DESIGN.md).
         block_k must be a multiple of 512 (the packed group size).
     Returns:
       (M, N) in x.dtype (leading batch dims of a >2D x are preserved).
@@ -291,18 +294,39 @@ def packed_spmm(
     m, k = x.shape
     if block_m is None:
         block_m = 256
+    # compute-bound regime at wide N and deep K: a full-width N tile with
+    # shallow K steps keeps the y accumulator resident while the decode of
+    # the next K slab overlaps the current dot (v5e probe 2026-08-19,
+    # 256x4096x4096 bf16: bn4096/bk512 50.2us vs bn512/bk2048 55.6us vs
+    # bn2048/bk1024 52.0us — scripts/probe_r3_tiles.py). bf16 only: the
+    # f32 scratch+accumulator at these tiles exceeds the 16M VMEM budget
+    # (measured 20.53M OOM), and int8 (W2A8) is unmeasured at them.
+    wide_n = (
+        block_n is None
+        and block_k is None
+        and m > 32
+        and w.data.shape[1] >= 4096
+        and k >= 2048
+        and compute_dtype == jnp.bfloat16
+    )
     if block_n is None:
         # weight-streaming regime: wide N-tiles amortize per-dot MXU pass
         # overhead, but only once K is deep enough that decode dominates
         # (v5e probes 2026-08-17: 1x4096x4096 13.7us bn4096 vs 15.1us
         # bn1024; 1x1024x4096 5.9us bn4096 vs 5.2us bn1024)
-        block_n = 512 if m > 32 else (4096 if k >= 4096 else 1024)
+        if wide_n:
+            block_n = 4096
+        else:
+            block_n = 512 if m > 32 else (4096 if k >= 4096 else 1024)
     if block_k is None:
         # large K-tiles amortize accumulator traffic and interleave decode
         # with the MXU better (v5e sweep: 512->2048 took the headline config
         # from 63us to 54.5us); kept under 4096 — full-K tiles hit a
         # pathological Mosaic compile
-        block_k = 4 * GROUP_ROWS if m > 32 else 2 * GROUP_ROWS
+        if wide_n:
+            block_k = GROUP_ROWS
+        else:
+            block_k = 4 * GROUP_ROWS if m > 32 else 2 * GROUP_ROWS
     if block_k % GROUP_ROWS:
         raise ValueError(f"block_k={block_k} must be a multiple of {GROUP_ROWS}")
     kp, n = w.data.shape

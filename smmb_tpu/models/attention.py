@@ -17,7 +17,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from smmb_tpu.formats.packed import pack_ternary_device
+from smmb_tpu.formats.packed import concat_packed_cols, pack_ternary_device
 from smmb_tpu.kernels.packed_spmm import packed_spmm
 from smmb_tpu.models.train import absmean_scale, ternarize_ste
 from smmb_tpu.ops.spmm import packed_spmm_jnp
@@ -140,6 +140,20 @@ def pack_attention(params: dict, quantize: bool = False) -> dict:
             out[name + "_scale"] = jnp.float32(1.0)
         bname = name.replace("w", "b")
         out[bname] = params[bname]
+    # fused [Wq|Wk|Wv] plane: batch-1 decode is weight-streaming-bound, so
+    # the three QKV projections run as ONE kernel call per step (one grid
+    # launch, one weight pass) — _proj_qkv slices the output. Per-matrix
+    # scales become a per-column vector applied post-matmul (s·(x@W) ==
+    # (s·x)@W). The TP partitioners rebuild their own dicts and drop these
+    # derived entries (parallel/tp_transformer.shard_attn_megatron).
+    out["wqkv"] = concat_packed_cols([out["wq"], out["wk"], out["wv"]])
+    out["qkv_scale"] = jnp.concatenate(
+        [
+            jnp.broadcast_to(out[n + "_scale"], (out[n].cols,))
+            for n in ("wq", "wk", "wv")
+        ]
+    )
+    out["bqkv"] = jnp.concatenate([out["bq"], out["bk"], out["bv"]])
     return out
 
 
@@ -371,6 +385,40 @@ def _proj(packed, name, inp, cfg, compute_dtype, use_kernel):
     return y
 
 
+def _proj_qkv(packed, inp, cfg, compute_dtype, use_kernel):
+    """The three QKV projections of a decode/extend step as ONE fused
+    kernel call when the packed dict carries the [Wq|Wk|Wv] plane.
+
+    Batch-1 decode is weight-streaming-bound: three separate packed_spmm
+    calls pay three grid launches for the same total weight traffic. The
+    fused plane (pack_attention) runs one. Scales apply post-matmul as a
+    per-column vector (s·(x@W) == (s·x)@W exactly — scales are f32
+    scalars broadcast per source matrix); the bias is added after the
+    scale, matching _proj's (s·x)@W + b. LoRA-adapted QKV falls back to
+    the per-projection path so adapters see their raw layer input."""
+    fused = packed.get("wqkv")
+    if fused is None or any(
+        packed.get(n + "_lora") is not None for n in ("wq", "wk", "wv")
+    ):
+        return (
+            _proj(packed, "wq", inp, cfg, compute_dtype, use_kernel),
+            _proj(packed, "wk", inp, cfg, compute_dtype, use_kernel),
+            _proj(packed, "wv", inp, cfg, compute_dtype, use_kernel),
+        )
+    if use_kernel:
+        y = packed_spmm(inp, fused, compute_dtype=compute_dtype)
+    else:
+        y = packed_spmm_jnp(inp, fused, dtype=compute_dtype)
+    # scale+bias in f32, cast back: keeps the output dtype identical to
+    # the per-projection path (the KV cache write requires it) while the
+    # bias adds at full precision like _proj's f32 accumulator seed
+    y = (
+        y.astype(jnp.float32) * packed["qkv_scale"] + packed["bqkv"]
+    ).astype(y.dtype)
+    d, kvd = cfg.d_model, cfg.kv_dim
+    return y[..., :d], y[..., d : d + kvd], y[..., d + kvd :]
+
+
 def attention_prefill(
     packed: dict,
     x: jax.Array,
@@ -474,9 +522,10 @@ def attention_decode_step(
     if one != 1:
         raise ValueError(f"decode step takes one token, got T={one}")
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
-    q = _split_heads(_proj(packed, "wq", x_t, cfg, **kw), cfg)  # (B,1,H,hd)
-    k = _split_heads(_proj(packed, "wk", x_t, cfg, **kw), cfg, cfg.kv_heads)
-    v = _split_heads(_proj(packed, "wv", x_t, cfg, **kw), cfg, cfg.kv_heads)
+    qf, kf, vf = _proj_qkv(packed, x_t, cfg, **kw)  # one fused weight pass
+    q = _split_heads(qf, cfg)  # (B,1,H,hd)
+    k = _split_heads(kf, cfg, cfg.kv_heads)
+    v = _split_heads(vf, cfg, cfg.kv_heads)
     pos = cache["pos"]
     if cfg.rope:
         q = apply_rope(q, pos + jnp.arange(1), cfg.rope_theta)
@@ -511,9 +560,10 @@ def attention_extend(
     shot. Returns (y (B, C, D), new_cache)."""
     b, c, d = x.shape
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
-    q = _split_heads(_proj(packed, "wq", x, cfg, **kw), cfg)  # (B,C,H,hd)
-    k = _split_heads(_proj(packed, "wk", x, cfg, **kw), cfg, cfg.kv_heads)
-    v = _split_heads(_proj(packed, "wv", x, cfg, **kw), cfg, cfg.kv_heads)
+    qf, kf, vf = _proj_qkv(packed, x, cfg, **kw)  # one fused weight pass
+    q = _split_heads(qf, cfg)  # (B,C,H,hd)
+    k = _split_heads(kf, cfg, cfg.kv_heads)
+    v = _split_heads(vf, cfg, cfg.kv_heads)
     pos = cache["pos"]
     if cfg.rope:
         chunk_pos = pos + jnp.arange(c)
