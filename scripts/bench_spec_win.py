@@ -71,22 +71,26 @@ DCFG = TernaryLMConfig(
 KW = dict(compute_dtype=jnp.bfloat16, use_kernel=True)
 
 
-def synth_batch(key, batch, seqlen):
+_SUCC = jax.random.randint(jax.random.PRNGKey(777), (VOCAB,), 0, VOCAB)
+
+
+def synth_batch(key, batch, seqlen, noise_p=0.05):
     """Synthetic corpus with LEARNABLE structure: a fixed random bigram
     successor table + noise. A model trained on it sharpens its logits —
     which is the property that makes speculation pay (peaked logits =>
-    draft/target argmax agreement)."""
-    ks, kn, kt = jax.random.split(key, 3)
-    succ = jax.random.randint(kt, (VOCAB,), 0, VOCAB)  # fixed by kt seed
+    draft/target argmax agreement). ``key`` varies per call so every
+    training step sees fresh walks over the same table."""
+    ks, kn, kr = jax.random.split(key, 3)
     first = jax.random.randint(ks, (batch, 1), 0, VOCAB)
 
-    def step(tok, noise):
-        nxt = jnp.where(noise, jax.random.randint(kn, tok.shape, 0, VOCAB),
-                        succ[tok])
+    def step(tok, inp):
+        noise, rnd = inp
+        nxt = jnp.where(noise, rnd, _SUCC[tok])
         return nxt, nxt
 
-    noise = jax.random.bernoulli(kn, 0.05, (seqlen - 1, batch, 1))
-    _, rest = jax.lax.scan(step, first, noise)
+    noise = jax.random.bernoulli(kn, noise_p, (seqlen - 1, batch, 1))
+    rnd = jax.random.randint(kr, (seqlen - 1, batch, 1), 0, VOCAB)
+    _, rest = jax.lax.scan(step, first, (noise, rnd))
     return jnp.concatenate([first[None], rest]).squeeze(-1).T  # (B, T)
 
 
@@ -98,14 +102,12 @@ def main():
     init_opt, train_step = make_lm_train_step(TCFG, learning_rate=2e-3)
     train_step = jax.jit(train_step)
     opt = init_opt(params)
-    key = jax.random.PRNGKey(42)
     batch_key = jax.random.PRNGKey(7)
-    for i in range(60):
+    for i in range(400):
         batch_key, k = jax.random.split(batch_key)
-        toks = synth_batch(jax.random.fold_in(key, 0), 16, 128)
-        toks = jnp.roll(toks, int(i), axis=1)  # vary phase cheaply
+        toks = synth_batch(k, 32, 128)
         params, opt, loss = train_step(params, opt, toks)
-        if i % 20 == 0 or i == 59:
+        if i % 100 == 0 or i == 399:
             t(f"target train step {i}: loss {float(loss):.3f}")
     target = pack_lm(params, quantize=True)
 
@@ -116,27 +118,30 @@ def main():
     )
     dstep = jax.jit(dstep)
     dopt = dinit(dparams)
-    for i in range(120):
-        toks = synth_batch(jax.random.fold_in(key, 1), 16, 128)
-        toks = jnp.roll(toks, int(i) % 128, axis=1)
+    for i in range(400):
+        batch_key, k = jax.random.split(batch_key)
+        toks = synth_batch(k, 32, 128)
         dparams, dopt, dloss = dstep(dparams, dopt, toks)
-        if i % 40 == 0 or i == 119:
+        if i % 100 == 0 or i == 399:
             t(f"draft distill step {i}: loss {float(dloss):.3f}")
     draft = pack_lm(dparams, quantize=True)
 
-    prompt = synth_batch(jax.random.fold_in(key, 2), 1, PROMPT)
+    prompt = synth_batch(jax.random.PRNGKey(99), 1, PROMPT, noise_p=0.0)
 
-    # --- acceptance: fraction of emitted tokens that came from the draft
-    g_plain = np.asarray(
-        generate(target, prompt, TCFG, STEPS, **KW)
-    )
+    # --- draft/target argmax agreement on generated continuations
+    g_plain = np.asarray(generate(target, prompt, TCFG, STEPS, **KW))
     g_spec = np.asarray(
         generate_speculative(
             target, draft, prompt, TCFG, DCFG, STEPS, k=K_SPEC, **KW
         )
     )
+    agree = float((g_plain == g_spec).mean())
     t(f"spec == plain tokens: {bool((g_plain == g_spec).all())} "
-      f"(first 12: {g_spec[0, :12].tolist()})")
+      f"(agreement {agree:.2f}; first 12: {g_spec[0, :12].tolist()})")
+    # how peaked did training get: does the target follow the bigram table
+    follows = float((g_plain[0, 1:] == np.asarray(_SUCC)[g_plain[0, :-1]])
+                    .mean())
+    t(f"target follows bigram successor: {follows:.2f} of steps")
 
     # --- 3) device-slope timing ---
     def slope(fn_for_steps):

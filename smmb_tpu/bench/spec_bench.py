@@ -4,15 +4,21 @@ Reports device-side µs/token (slope between two step counts, like
 bench/lm_bench.py) for three serving configurations of the SAME target:
 
 * plain     — models/lm.generate, the autoregressive baseline;
-* spec-self — draft == target: every proposal accepted. This is the
-  mechanism's upper bound and isolates its overhead: per accepted k+1
-  tokens the machinery pays k+1 draft steps + one (k+1)-row verify, so
-  spec-self ≈ plain + verify/(k+1) — the closer to plain, the cheaper the
-  verify plumbing;
+* spec-self — draft == target. NOT full acceptance on a random-init
+  model (measured on-chip, scripts/probe_spec.py 2026-08-19): the draft's
+  step-by-step decode and the verify's (k+1)-row chunk batch their
+  matmuls differently, and on near-tie random logits the argmax flips —
+  self-drafting accepted only ~2.8/4 in bf16. One spec round costs
+  exactly its parts (5 draft steps + 1 verify ≈ 507 µs measured vs
+  564 µs summed), so the machinery adds no plumbing overhead; the
+  economics are acceptance × draft cost. With verify ≈ one plain step
+  (both weight-streaming-bound at batch ≤ k+1), a same-size draft can
+  never pay — this row is a diagnostic, not an upper bound;
 * spec-draft — an independently-initialized small draft. For RANDOM
   models acceptance is ~1/vocab (worst case), so this bounds the cost of
-  full rejection; a real distilled draft sits between the two bounds at
-  its acceptance rate.
+  full rejection. The configuration where speculation WINS — a briefly
+  trained (peaked) target + distilled small draft — is measured by
+  scripts/bench_spec_win.py.
 
 CLI: python -m smmb_tpu spec [--layers 4] [--d-model 1024] [--d-ff 4096]
      [--vocab 8192] [--draft-layers 1] [--draft-d-model 256]
