@@ -1,0 +1,292 @@
+"""Pallas TPU kernel: single-token decode attention over the KV cache.
+
+Why a dedicated kernel (measured, bench_out/kvq_crossover.txt 2026-08-19):
+the jnp decode path feeds the cache through einsums, and XLA never fuses
+elementwise producers into a dot — so the int8 cache was DEQUANTIZED TO A
+FULL-SIZE f32 TENSOR every step (int8 got *slower* with context: 1.73×
+at ctx 2k → 3.21× at 16k GQA vs the bf16 cache), and bf16 MHA decode ran
+at 2.3× its HBM traffic floor. This kernel streams cache tiles through
+VMEM once, so HBM traffic per step is exactly the live cache bytes (int8
+codes when quantized — the 2× read saving finally realized).
+
+Design notes (TPU-first):
+
+* Grid is ``(B, KVH, s_tiles)`` with the cache axis innermost; the online
+  softmax carry (m, l, acc) lives in VMEM scratch; output writes once on
+  the last tile. Cache blocks DMA straight from the serving layout
+  (B, S, KVH, hd) — no transposed copy of the cache is ever made.
+* The live length ``pos`` is a SCALAR-PREFETCH argument: tiles beyond the
+  live prefix re-use the previous block index (no DMA) and skip compute,
+  so a step at position p costs O(p), not O(max_len). The same clamp
+  skips tiles below a sliding window.
+* int8 dequantization never touches the (bs, hd) tiles: both per-token
+  absmax scales fold into LANE-ALIGNED vector multiplies —
+  ``scores *= k_scale[cols]`` after the QK^T dot and ``p *= v_scale[cols]``
+  before the p·V dot (the scales arrive pre-transposed to (B, KVH, S), a
+  few hundred KB). The codes convert to the compute dtype in VMEM, one
+  tile at a time.
+* Only the boundary tile (the one containing ``pos``, or straddling the
+  window's lower edge) pays the iota/compare/where mask; interior tiles
+  run mask-free (the flash-attention VPU lesson, kernels/flash_attention).
+* f32 inputs run both dots at HIGHEST precision (MXU would silently
+  demote to bf16 — the round-2 flash parity failure mode).
+
+The jnp path (models/attention._decode_attention_math) remains the parity
+oracle and the fallback for ragged ``valid`` masks and hd % 128 != 0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from smmb_tpu.kernels._compat import use_interpret
+
+_NEG = -1e30
+
+
+def _decode_kernel(
+    pos_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    *rest,
+    ns: int,
+    sm_scale: float,
+    window: int | None,
+    block_kv: int,
+    quant: bool,
+    precision,
+    compute_dtype,
+):
+    if quant:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref = rest
+    s = pl.program_id(2)
+    pos = pos_ref[0]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def body(masked):
+        q = q_ref[0, 0]  # (G, hd)
+        k = k_ref[0]  # (bs, hd) — one head's slice of the (B,S,KVH·hd) view
+        if quant:
+            k = k.astype(compute_dtype)
+        scores = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * sm_scale  # (G, bs)
+        if quant:
+            # per-token absmax scale, lane-aligned: (1, bs) broadcast
+            scores = scores * ks_ref[0, 0][None, :]
+        if masked:
+            col = s * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1
+            )
+            live = col <= pos
+            if window is not None:
+                live = jnp.logical_and(live, col > pos - window)
+            scores = jnp.where(live, scores, _NEG)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        rescale = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] * rescale + jnp.sum(p, axis=-1, keepdims=True),
+            l_ref.shape,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        v = v_ref[0]  # (bs, hd)
+        if quant:
+            p = p * vs_ref[0, 0][None, :]
+            v = v.astype(compute_dtype)
+        acc_ref[:] = acc_ref[:] * rescale + jnp.dot(
+            p.astype(v.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    live_tile = s * block_kv <= pos
+    # the tile containing pos (and, under a window, the one holding the
+    # window's lower edge) needs the mask; interior tiles skip it
+    full = (s + 1) * block_kv - 1 <= pos
+    if window is not None:
+        live_tile = jnp.logical_and(
+            live_tile, s * block_kv + block_kv - 1 > pos - window
+        )
+        full = jnp.logical_and(full, s * block_kv > pos - window)
+
+    @pl.when(jnp.logical_and(live_tile, full))
+    def _():
+        body(False)
+
+    @pl.when(jnp.logical_and(live_tile, jnp.logical_not(full)))
+    def _():
+        body(True)
+
+    @pl.when(s == ns - 1)
+    def _():
+        l = l_ref[:, :1]
+        o_ref[0, 0] = (
+            jnp.where(l > 0, acc_ref[:] / jnp.where(l > 0, l, 1.0), 0.0)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "window", "sm_scale", "block_kv", "interpret", "precision",
+    ),
+)
+def flash_attention_decode(
+    q: jax.Array,
+    kc: jax.Array,
+    vc: jax.Array,
+    pos: jax.Array,
+    *,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+    window: int | None = None,
+    sm_scale: float | None = None,
+    block_kv: int = 1024,
+    interpret: bool | None = None,
+    precision=None,
+) -> jax.Array:
+    """One-token attention over a static-length cache, O(pos) HBM traffic.
+
+    Args:
+      q: (B, H, hd) — the current token's queries. Head ``h`` attends
+        cache head ``h // (H // KVH)`` (contiguous grouping, same contract
+        as models/attention._chunk_attention_math).
+      kc, vc: (B, S, KVH, hd) cache buffers — the serving layout, read
+        in place. bf16/f32, or int8 codes with ``k_scale``/``v_scale``.
+      pos: () or (1,) int32 — the query's own position; cache columns
+        ≤ pos are live (the just-written own token included).
+      k_scale, v_scale: (B, S, KVH) f32 per-token absmax scales (pass the
+        cache's (B, S, KVH, 1) squeezed + nothing else — the wrapper in
+        models/attention transposes them to (B, KVH, S) lanes-major).
+      window: sliding window — live columns are (pos−window, pos].
+    Returns:
+      (B, H, hd) in q's dtype.
+    """
+    b, h, hd = q.shape
+    bk, s_len, kvh, hdk = kc.shape
+    if (bk, hdk) != (b, hd) or vc.shape != kc.shape:
+        raise ValueError(f"q {q.shape} vs kc {kc.shape} vs vc {vc.shape}")
+    if h % kvh:
+        raise ValueError(f"H {h} % KVH {kvh} != 0")
+    if hd % 128:
+        raise ValueError(f"head_dim {hd} % 128 != 0 — use the jnp path")
+    quant = k_scale is not None
+    if quant != (v_scale is not None) or quant != (kc.dtype == jnp.int8):
+        raise ValueError("int8 cache requires both k_scale and v_scale")
+    g = h // kvh
+    if sm_scale is None:
+        sm_scale = 1.0 / hd ** 0.5
+
+    bs = min(block_kv, s_len)
+    ns = pl.cdiv(s_len, bs)
+    qg = q.reshape(b, kvh, g, hd)
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    compute_dtype = q.dtype
+
+    if precision is None:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if q.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+
+    def _pos_of(pos_arg):
+        # index maps receive the prefetched scalar as a 0-d value on some
+        # paths and as the (1,)-shaped SMEM ref on others — unpack by shape
+        return pos_arg if len(getattr(pos_arg, "shape", ())) == 0 else pos_arg[0]
+
+    def kv_index(bi, hi, si, pos_arg):
+        # Mosaic requires the last two BLOCK dims divisible by (8, 128) or
+        # equal to the array dims, so the per-head slice cannot block the
+        # KVH axis at 1 — the cache is viewed as (B, S, KVH·hd) and the
+        # head is picked by the lane-axis block index instead (a reshape
+        # of a contiguous array: no copy).
+        p = _pos_of(pos_arg)
+        top = p // bs  # the tile holding pos
+        if window is None:
+            return (bi, jnp.minimum(si, top), hi)
+        lo = jnp.maximum(0, (p - window + 1) // bs)
+        return (bi, jnp.clip(si, lo, top), hi)
+
+    kv_spec = pl.BlockSpec((1, bs, hd), kv_index, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, g, hd),
+            lambda bi, hi, si, pos_arg: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        kv_spec,
+        kv_spec,
+    ]
+    inputs = [qg, kc.reshape(b, s_len, kvh * hd), vc.reshape(b, s_len, kvh * hd)]
+    if quant:
+        # (B, S, KVH) -> (B, KVH, S): a few hundred KB, NOT cache-sized
+        ks_t = jnp.transpose(k_scale, (0, 2, 1))
+        vs_t = jnp.transpose(v_scale, (0, 2, 1))
+
+        # index map mirrors the kv clamp: (b·kvh flat, 0, clamped si);
+        # the singleton middle axis satisfies Mosaic's block-dim rule
+        def sc_index(bi, hi, si, pos_arg):
+            idx = kv_index(bi, hi, si, pos_arg)
+            return (bi * kvh + hi, 0, idx[1])
+
+        sc_spec = pl.BlockSpec((1, 1, bs), sc_index, memory_space=pltpu.VMEM)
+        in_specs += [sc_spec, sc_spec]
+        inputs += [
+            ks_t.reshape(b * kvh, 1, s_len),
+            vs_t.reshape(b * kvh, 1, s_len),
+        ]
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel,
+            ns=ns,
+            sm_scale=float(sm_scale),
+            window=window,
+            block_kv=bs,
+            quant=quant,
+            precision=precision,
+            compute_dtype=compute_dtype,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, kvh, ns),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, g, hd),
+                lambda bi, hi, si, pos_arg: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((g, 128), jnp.float32),
+                pltpu.VMEM((g, 128), jnp.float32),
+                pltpu.VMEM((g, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(interpret),
+    )(pos_arr, *inputs)
+    return out.reshape(b, h, hd)

@@ -284,8 +284,12 @@ def init_kv_cache(
     ``quantized=True`` stores int8 codes with a per-token-per-head f32
     absmax scale (``k_scale``/``v_scale``) — 4×/2× less decode read
     traffic than f32/bf16, which is the long-context decode bottleneck.
-    XLA fuses the dequant multiply into the attention einsum operands, so
-    HBM sees only the int8 bytes.
+    The saving is only realized through the flash-decode kernel
+    (``use_flash=True`` decode), which dequantizes tiles in VMEM; the jnp
+    einsum path forces XLA to MATERIALIZE a full dequantized cache every
+    step (elementwise producers never fuse into a dot), measured 2-3×
+    slower than the bf16 cache at long context
+    (bench_out/kvq_crossover.txt).
 
     ``ragged=True`` adds a per-row ``valid`` mask for LEFT-padded ragged
     batches: prefill marks pad slots invalid and every attention read
@@ -513,11 +517,20 @@ def attention_decode_step(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> tuple[jax.Array, dict]:
     """One incremental decode step: x_t is (B, 1, D), attends over the cache
     plus itself — O(T·D) instead of the O(T²·D) full-recompute path
     (``attention_forward`` recomputes all T×T scores; fine for prefill,
-    wrong cost model for serving decode). Returns (y_t, new_cache)."""
+    wrong cost model for serving decode). Returns (y_t, new_cache).
+
+    ``use_flash=True`` routes the cache read through the Pallas
+    flash-decode kernel (kernels/flash_decode.py): cache tiles stream
+    through VMEM once (tiles beyond ``pos`` skip DMA + compute), and an
+    int8 cache dequantizes in-kernel — the jnp einsum path instead forces
+    XLA to materialize a full-size dequantized cache every step (measured
+    2-3× slower at long context, bench_out/kvq_crossover.txt). Falls back
+    to the jnp path for ragged ``valid`` masks or head_dim % 128 != 0."""
     b, one, d = x_t.shape
     if one != 1:
         raise ValueError(f"decode step takes one token, got T={one}")
@@ -531,11 +544,30 @@ def attention_decode_step(
         q = apply_rope(q, pos + jnp.arange(1), cfg.rope_theta)
         k = apply_rope(k, pos + jnp.arange(1), cfg.rope_theta)
     cache = _cache_write(cache, k, v, pos)
-    kc, vc = _cache_kv(cache)
-    out = _decode_attention_math(
-        q, kc, vc, pos, cfg.head_dim, precision=precision,
-        window=cfg.window, valid=cache.get("valid"),
-    )
+    if (
+        use_flash
+        and cache.get("valid") is None
+        and cfg.head_dim % 128 == 0
+    ):
+        from smmb_tpu.kernels.flash_decode import flash_attention_decode
+
+        quant = "k_scale" in cache
+        out = flash_attention_decode(
+            q[:, 0],
+            cache["k"],
+            cache["v"],
+            pos,
+            k_scale=cache["k_scale"][..., 0] if quant else None,
+            v_scale=cache["v_scale"][..., 0] if quant else None,
+            window=cfg.window,
+            precision=precision,
+        ).reshape(b, 1, -1)
+    else:
+        kc, vc = _cache_kv(cache)
+        out = _decode_attention_math(
+            q, kc, vc, pos, cfg.head_dim, precision=precision,
+            window=cfg.window, valid=cache.get("valid"),
+        )
     y = _proj(packed, "wo", out, cfg, **kw)
     return y, cache
 

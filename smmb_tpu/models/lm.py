@@ -410,6 +410,7 @@ def lm_decode_step(
     use_kernel: bool = True,
     precision=None,
     pos_ids=None,
+    use_flash: bool = False,
 ):
     """One decode step: (B,) int tokens → ((B, vocab) logits, cache).
 
@@ -417,6 +418,8 @@ def lm_decode_step(
     lockstep); O(T·D) per step via the per-block KV caches. ``pos_ids``
     (B,) overrides the learned-positional-embedding index per row (ragged
     batches: each row's logical position differs from the buffer index).
+    ``use_flash`` streams the cache read through the flash-decode kernel
+    (not combinable with ragged caches — the blocks fall back).
     """
     pos = cache[0]["pos"]
     if pos_ids is None:
@@ -429,7 +432,7 @@ def lm_decode_step(
         x, c = cfg._blk["decode"](
             blk, x, c, cfg.block,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
-            precision=precision,
+            precision=precision, use_flash=use_flash,
         )
         new_cache.append(c)
     h = rmsnorm(x, packed["norm_f"], cfg.eps)
@@ -676,8 +679,12 @@ def generate(
     Greedy by default; ``temperature > 0`` switches to softmax sampling
     (optionally top-k truncated) driven by ``key``. One jitted program:
     prefill then a ``lax.scan`` of decode steps — static shapes throughout
-    (cache preallocated at ``cfg.max_len``). ``use_flash`` applies to the
-    prefill only (decode steps read the cache; they have no T×T scores).
+    (cache preallocated at ``cfg.max_len``). ``use_flash`` routes the
+    prefill through the flash-attention kernel AND the decode steps'
+    cache reads through the flash-decode kernel (kernels/flash_decode.py:
+    O(pos) cache traffic per step, in-kernel int8 dequant under
+    ``kv_quant`` — the jnp path materializes a dequantized cache copy
+    per step, measured 2-3× slower at long context).
 
     ``prompt_mask`` (B, T) bool serves a RAGGED batch: left-pad each
     prompt (real tokens rightmost) and mark the real ones. Pad slots are
@@ -737,7 +744,8 @@ def generate(
     def step(carry, _):
         tok, cache, key, row_pos = carry
         logits, cache = lm_decode_step(
-            packed, tok, cache, cfg, pos_ids=row_pos, **kw
+            packed, tok, cache, cfg, pos_ids=row_pos,
+            use_flash=use_flash and row_pos is None, **kw
         )
         key, ks = jax.random.split(key)
         nxt = sampler(ks, logits)

@@ -201,13 +201,14 @@ def moe_block_decode_step(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> tuple[jax.Array, dict]:
     kw = dict(
         compute_dtype=compute_dtype, use_kernel=use_kernel, precision=precision
     )
     h = rmsnorm(x_t, packed["norm1"], cfg.eps)
     att, cache = attention_decode_step(
-        packed["attn"], h, cache, cfg.attn, **kw
+        packed["attn"], h, cache, cfg.attn, use_flash=use_flash, **kw
     )
     x_t = x_t + att
     return _moe_half(packed, x_t, cfg, compute_dtype, use_kernel), cache

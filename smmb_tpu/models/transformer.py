@@ -236,15 +236,17 @@ def block_decode_step(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> tuple[jax.Array, dict]:
     """One serving decode step through the block: x_t is (B, 1, d_model);
-    attention reads the cache (O(T·D)) instead of recomputing T×T scores."""
+    attention reads the cache (O(T·D)) instead of recomputing T×T scores.
+    ``use_flash`` routes the cache read through the flash-decode kernel."""
     kw = dict(
         compute_dtype=compute_dtype, use_kernel=use_kernel, precision=precision
     )
     h = rmsnorm(x_t, packed["norm1"], cfg.eps)
     att, cache = attention_decode_step(
-        packed["attn"], h, cache, cfg.attn, **kw
+        packed["attn"], h, cache, cfg.attn, use_flash=use_flash, **kw
     )
     x_t = x_t + att
     y = _mlp_half(packed, x_t, cfg, _make_spmm(compute_dtype, use_kernel))

@@ -1,0 +1,130 @@
+"""Flash-decode kernel parity (CPU interpret; hardware run in
+scripts/verify_flash_decode.py).
+
+The kernel's contract: identical math to the jnp decode path
+(models/attention._decode_attention_math) with O(pos) cache traffic —
+MHA/GQA grouping, sliding window, int8 cache with in-kernel dequant, and
+the dynamic-position tile skip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smmb_tpu.kernels.flash_decode import flash_attention_decode
+from smmb_tpu.models.attention import (
+    TernaryAttentionConfig,
+    _cache_kv,
+    _decode_attention_math,
+    attention_decode_step,
+    init_attention,
+    init_kv_cache,
+    pack_attention,
+)
+from smmb_tpu.utils import rng
+
+
+def _filled_cache(key, B, S, kvh, hd, pos, quantized=False):
+    cfg = TernaryAttentionConfig(
+        d_model=hd * kvh, n_heads=kvh, n_kv_heads=None
+    )
+    cache = init_kv_cache(cfg, B, max_len=S, quantized=quantized)
+    kk, kv = jax.random.split(key)
+    k = jax.random.normal(kk, (B, pos + 1, kvh, hd), jnp.float32)
+    v = jax.random.normal(kv, (B, pos + 1, kvh, hd), jnp.float32)
+    from smmb_tpu.models.attention import _cache_write
+
+    cache = _cache_write(cache, k, v, 0)
+    return cache
+
+
+@pytest.mark.parametrize("h,kvh", [(4, 4), (8, 2)])
+@pytest.mark.parametrize("pos", [0, 5, 37])
+def test_flash_decode_matches_jnp(h, kvh, pos):
+    B, S, hd = 2, 64, 128
+    key = jax.random.PRNGKey(h * 100 + pos)
+    cache = _filled_cache(key, B, S, kvh, hd, pos)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (B, 1, h, hd))
+    kc, vc = _cache_kv(cache)
+    want = np.asarray(
+        _decode_attention_math(q, kc, vc, jnp.int32(pos), hd)
+    )
+    got = np.asarray(
+        flash_attention_decode(
+            q[:, 0], cache["k"], cache["v"], jnp.int32(pos), block_kv=32
+        )
+    ).reshape(B, 1, -1)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
+
+
+@pytest.mark.parametrize("window", [4, 16])
+def test_flash_decode_window(window):
+    B, S, h, kvh, hd, pos = 1, 64, 4, 2, 128, 33
+    key = jax.random.PRNGKey(7)
+    cache = _filled_cache(key, B, S, kvh, hd, pos)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (B, 1, h, hd))
+    kc, vc = _cache_kv(cache)
+    want = np.asarray(
+        _decode_attention_math(q, kc, vc, jnp.int32(pos), hd, window=window)
+    )
+    got = np.asarray(
+        flash_attention_decode(
+            q[:, 0], cache["k"], cache["v"], jnp.int32(pos),
+            window=window, block_kv=32,
+        )
+    ).reshape(B, 1, -1)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
+
+
+def test_flash_decode_int8_cache():
+    B, S, h, kvh, hd, pos = 1, 96, 4, 4, 128, 50
+    key = jax.random.PRNGKey(11)
+    cache = _filled_cache(key, B, S, kvh, hd, pos, quantized=True)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (B, 1, h, hd))
+    kc, vc = _cache_kv(cache)  # dequantized jnp view = the oracle
+    want = np.asarray(
+        _decode_attention_math(q, kc, vc, jnp.int32(pos), hd)
+    )
+    got = np.asarray(
+        flash_attention_decode(
+            q[:, 0], cache["k"], cache["v"], jnp.int32(pos),
+            k_scale=cache["k_scale"][..., 0],
+            v_scale=cache["v_scale"][..., 0],
+            block_kv=32,
+        )
+    ).reshape(B, 1, -1)
+    # kernel scales p by v_scale pre-cast vs jnp's dequantized-V operand:
+    # same math, different rounding point — tolerance covers it
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=0)
+
+
+def test_decode_step_use_flash_matches_jnp(key):
+    """attention_decode_step(use_flash=True) == the jnp path, through the
+    real serving entry (fused QKV + cache write + out-proj)."""
+    cfg = TernaryAttentionConfig(d_model=256, n_heads=2)
+    params = init_attention(key, cfg)
+    packed = pack_attention(params)
+    B, T = 1, 8
+    x = rng.rand_dense(jax.random.PRNGKey(3), (B, T, 256))
+    c1 = init_kv_cache(cfg, B, max_len=T)
+    c2 = init_kv_cache(cfg, B, max_len=T)
+    for t in range(T):
+        y1, c1 = attention_decode_step(
+            packed, x[:, t : t + 1], c1, cfg, use_kernel=False
+        )
+        y2, c2 = attention_decode_step(
+            packed, x[:, t : t + 1], c2, cfg, use_kernel=False,
+            use_flash=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(y2), np.asarray(y1), atol=2e-5, rtol=1e-5,
+            err_msg=f"step {t}",
+        )
+
+
+def test_flash_decode_rejects_bad_head_dim():
+    q = jnp.zeros((1, 4, 64))
+    kc = jnp.zeros((1, 16, 4, 64))
+    with pytest.raises(ValueError, match="head_dim"):
+        flash_attention_decode(q, kc, kc, jnp.int32(0))

@@ -18,6 +18,7 @@ from smmb_tpu.formats.bcsr import (
     bcsr_to_dense,
 )
 from smmb_tpu.formats.packed import (
+    concat_packed_cols,
     TernaryPacked,
     pack_ternary,
     pack_ternary_device,
@@ -139,6 +140,31 @@ def test_packed_roundtrip(key):
     assert p.packed_rows % 32 == 0
     np.testing.assert_array_equal(np.asarray(unpack_ternary(p)), w)
     assert p.nnz == int(np.count_nonzero(w))
+
+
+def test_concat_packed_cols(key):
+    """[Wq|Wk|Wv] fusion: packing is column-independent, so the fused
+    plane must decode to the dense concat exactly (the serving decode
+    path's correctness hinges on this — models/attention._proj_qkv)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    ws = [_ternary(k1, (600, 64)), _ternary(k2, (600, 128)),
+          _ternary(k3, (600, 32))]
+    ps = [pack_ternary(w) for w in ws]
+    fused = concat_packed_cols(ps)
+    assert fused.rows == 600 and fused.cols == 64 + 128 + 32
+    assert fused.nnz == sum(p.nnz for p in ps)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_ternary(fused)), np.concatenate(ws, axis=1)
+    )
+
+
+def test_concat_packed_cols_rejects_row_mismatch(key):
+    k1, k2 = jax.random.split(key)
+    with pytest.raises(ValueError, match="row mismatch"):
+        concat_packed_cols(
+            [pack_ternary(_ternary(k1, (128, 64))),
+             pack_ternary(_ternary(k2, (256, 64)))]
+        )
 
 
 def test_packed_device_matches_host(key):
