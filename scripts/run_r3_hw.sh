@@ -32,6 +32,8 @@ fi
 if run verify_lm 1200 python scripts/verify_lm.py; then
   run lm_bench 900 python -m smmb_tpu lm --steps 64
   run decode_bench 900 python -m smmb_tpu decode
+  run decode_flash 900 python -m smmb_tpu decode --flash
+  run verify_flash_decode 2400 python scripts/verify_flash_decode.py
   run spec_win 3000 python scripts/bench_spec_win.py
   run kvq_crossover 3000 python scripts/bench_kvq_crossover.py
 else

@@ -51,7 +51,10 @@ for h, kvh, window in [(8, 8, None), (8, 2, None), (8, 2, 256)]:
     kc = jax.random.normal(kk, (B, S, kvh, HD), jnp.float32)
     vc = jax.random.normal(kv, (B, S, kvh, HD), jnp.float32)
     y = np.asarray(
-        flash_attention_decode(q, kc, vc, jnp.int32(POS), window=window)
+        flash_attention_decode(
+            q, kc.reshape(B, S, kvh * HD), vc.reshape(B, S, kvh * HD),
+            jnp.int32(POS), window=window,
+        )
     )
     qn, kn, vn = (np.asarray(a, np.float64) for a in (q, kc, vc))
     g = h // kvh
@@ -80,6 +83,8 @@ for ctx, kvh_, name in [(8192, 8, "MHA"), (16384, 8, "MHA"),
     q = jax.random.normal(kq, (B, h, HD), jnp.bfloat16)
     kcb = jax.random.normal(kk, (B, S2, kvh_, HD), jnp.bfloat16)
     vcb = jax.random.normal(kv, (B, S2, kvh_, HD), jnp.bfloat16)
+    kcf = kcb.reshape(B, S2, kvh_ * HD)
+    vcf = vcb.reshape(B, S2, kvh_ * HD)
 
     mj = measure_device(
         lambda q, kc, vc: _decode_attention_math(
@@ -89,7 +94,7 @@ for ctx, kvh_, name in [(8192, 8, "MHA"), (16384, 8, "MHA"),
     )
     mk = measure_device(
         lambda q, kc, vc: flash_attention_decode(q, kc, vc, pos),
-        q, kcb, vcb, reps=3,
+        q, kcf, vcf, reps=3,
     )
     floor = 2 * ctx * kvh_ * HD * 2 / 819e9 * 1e6  # live KV bytes @ HBM BW
     t(f"bf16 {name} ctx={ctx}: jnp {mj.min_s*1e6:7.1f} us | kernel "
@@ -100,18 +105,21 @@ for ctx, kvh_, name in [(8192, 8, "MHA"), (16384, 8, "MHA"),
 
     kq8, ks = _quantize_kv(kcb)
     vq8, vs = _quantize_kv(vcb)
+    kq8f = kq8.reshape(B, S2, kvh_ * HD)
+    vq8f = vq8.reshape(B, S2, kvh_ * HD)
+    ksf, vsf = ks[..., 0], vs[..., 0]
 
-    def jnp_int8(q, kq8, vq8, ks, vs):
-        cache = {"k": kq8, "v": vq8, "k_scale": ks, "v_scale": vs}
-        kc, vc = _cache_kv(cache)
+    def jnp_int8(q, kq8f, vq8f, ksf, vsf):
+        cache = {"k": kq8f, "v": vq8f, "k_scale": ksf, "v_scale": vsf}
+        kc, vc = _cache_kv(cache, kvh_)
         return _decode_attention_math(q[:, None], kc, vc, pos, HD)
 
-    mjq = measure_device(jnp_int8, q, kq8, vq8, ks, vs, reps=3)
+    mjq = measure_device(jnp_int8, q, kq8f, vq8f, ksf, vsf, reps=3)
     mkq = measure_device(
-        lambda q, kq8, vq8, ks, vs: flash_attention_decode(
-            q, kq8, vq8, pos, k_scale=ks[..., 0], v_scale=vs[..., 0]
+        lambda q, kq8f, vq8f, ksf, vsf: flash_attention_decode(
+            q, kq8f, vq8f, pos, k_scale=ksf, v_scale=vsf
         ),
-        q, kq8, vq8, ks, vs, reps=3,
+        q, kq8f, vq8f, ksf, vsf, reps=3,
     )
     floor8 = ctx * kvh_ * HD * 2 / 819e9 * 1e6  # int8 halves KV bytes
     t(f"int8 {name} ctx={ctx}: jnp {mjq.min_s*1e6:7.1f} us | kernel "

@@ -13,8 +13,16 @@ Design notes (TPU-first):
 
 * Grid is ``(B, KVH, s_tiles)`` with the cache axis innermost; the online
   softmax carry (m, l, acc) lives in VMEM scratch; output writes once on
-  the last tile. Cache blocks DMA straight from the serving layout
-  (B, S, KVH, hd) — no transposed copy of the cache is ever made.
+  the last tile. The cache is stored FLAT — (B, S, KVH·hd) — and each
+  head's (bs, hd) tile is picked by the lane-axis block index: no copy,
+  no transpose, Mosaic-legal blocks. The flat layout is load-bearing
+  twice over: (a) a reshape of the scan-carried cache feeding a custom
+  call materializes a cache-sized copy EVERY step (measured +30 µs at
+  ctx 8k), and (b) blocking a 4D (B, S, KVH, hd) cache per head violates
+  Mosaic's last-two-dims rule, while all-heads 4D tiles force a
+  sublane-strided in-VMEM per-head slice (measured 8× slower). jnp
+  consumers reshape the flat cache to heads for their einsums — XLA
+  fuses that view into dots for free; only custom calls don't.
 * The live length ``pos`` is a SCALAR-PREFETCH argument: tiles beyond the
   live prefix re-use the previous block index (no DMA) and skip compute,
   so a step at position p costs O(p), not O(max_len). The same clamp
@@ -172,31 +180,40 @@ def flash_attention_decode(
       q: (B, H, hd) — the current token's queries. Head ``h`` attends
         cache head ``h // (H // KVH)`` (contiguous grouping, same contract
         as models/attention._chunk_attention_math).
-      kc, vc: (B, S, KVH, hd) cache buffers — the serving layout, read
-        in place. bf16/f32, or int8 codes with ``k_scale``/``v_scale``.
+      kc, vc: (B, S, KVH·hd) FLAT cache buffers — the serving layout
+        (models/attention.init_kv_cache), read in place, never reshaped.
+        bf16/f32, or int8 codes with ``k_scale``/``v_scale``. KVH is
+        inferred as ``kc.shape[-1] // hd``.
       pos: () or (1,) int32 — the query's own position; cache columns
         ≤ pos are live (the just-written own token included).
-      k_scale, v_scale: (B, S, KVH) f32 per-token absmax scales (pass the
-        cache's (B, S, KVH, 1) squeezed + nothing else — the wrapper in
-        models/attention transposes them to (B, KVH, S) lanes-major).
+      k_scale, v_scale: (B, S, KVH) f32 per-token absmax scales (the
+        cache's ``k_scale``/``v_scale`` entries as stored).
       window: sliding window — live columns are (pos−window, pos].
     Returns:
       (B, H, hd) in q's dtype.
     """
     b, h, hd = q.shape
-    bk, s_len, kvh, hdk = kc.shape
-    if (bk, hdk) != (b, hd) or vc.shape != kc.shape:
+    bk, s_len, kvd = kc.shape
+    if bk != b or vc.shape != kc.shape:
         raise ValueError(f"q {q.shape} vs kc {kc.shape} vs vc {vc.shape}")
-    if h % kvh:
-        raise ValueError(f"H {h} % KVH {kvh} != 0")
     if hd % 128:
         raise ValueError(f"head_dim {hd} % 128 != 0 — use the jnp path")
+    if kvd % hd:
+        raise ValueError(f"cache width {kvd} not a multiple of head_dim {hd}")
+    kvh = kvd // hd
+    if h % kvh:
+        raise ValueError(f"H {h} % KVH {kvh} != 0")
     quant = k_scale is not None
     if quant != (v_scale is not None) or quant != (kc.dtype == jnp.int8):
         raise ValueError("int8 cache requires both k_scale and v_scale")
     g = h // kvh
     if sm_scale is None:
         sm_scale = 1.0 / hd ** 0.5
+    if not quant and q.dtype != kc.dtype:
+        # mixed-dtype dots don't lower on the MXU (jnp einsums silently
+        # promote instead); the cache dtype IS the serving precision
+        # choice, so the one-token q follows it
+        q = q.astype(kc.dtype)
 
     bs = min(block_kv, s_len)
     ns = pl.cdiv(s_len, bs)
@@ -217,11 +234,8 @@ def flash_attention_decode(
         return pos_arg if len(getattr(pos_arg, "shape", ())) == 0 else pos_arg[0]
 
     def kv_index(bi, hi, si, pos_arg):
-        # Mosaic requires the last two BLOCK dims divisible by (8, 128) or
-        # equal to the array dims, so the per-head slice cannot block the
-        # KVH axis at 1 — the cache is viewed as (B, S, KVH·hd) and the
-        # head is picked by the lane-axis block index instead (a reshape
-        # of a contiguous array: no copy).
+        # the head's (bs, hd) tile is the lane-axis block ``hi`` of the
+        # flat (B, S, KVH·hd) cache — Mosaic-legal and copy-free.
         p = _pos_of(pos_arg)
         top = p // bs  # the tile holding pos
         if window is None:
@@ -239,7 +253,7 @@ def flash_attention_decode(
         kv_spec,
         kv_spec,
     ]
-    inputs = [qg, kc.reshape(b, s_len, kvh * hd), vc.reshape(b, s_len, kvh * hd)]
+    inputs = [qg, kc, vc]  # flat caches pass through untouched
     if quant:
         # (B, S, KVH) -> (B, KVH, S): a few hundred KB, NOT cache-sized
         ks_t = jnp.transpose(k_scale, (0, 2, 1))

@@ -296,7 +296,14 @@ def init_kv_cache(
     masks them. Left padding keeps the write position uniform across rows
     (all rows end at the same buffer index), which is what lets one
     scalar ``pos`` serve a ragged batch."""
-    shape = (batch, max_len, cfg.kv_heads, cfg.head_dim)
+    # FLAT storage (B, S, KVH·hd), per-token-per-head scales (B, S, KVH).
+    # The layout is load-bearing for the flash-decode kernel: a reshape of
+    # a scan-carried cache feeding a custom call materializes a cache-sized
+    # copy every step, and a 4D cache cannot be head-blocked under
+    # Mosaic's block rules (kernels/flash_decode.py design notes). jnp
+    # paths view it back to heads via _cache_kv — XLA fuses that reshape
+    # into the attention einsums for free.
+    shape = (batch, max_len, cfg.kv_heads * cfg.head_dim)
     # build the int8 buffers directly — allocating f32 first and replacing
     # would spike transient HBM 4x at exactly the sizes kv-quant targets
     kv_dtype = jnp.int8 if quantized else dtype
@@ -306,7 +313,7 @@ def init_kv_cache(
         "pos": jnp.int32(0),
     }
     if quantized:
-        sshape = shape[:-1] + (1,)
+        sshape = (batch, max_len, cfg.kv_heads)
         cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
         cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
     if ragged:
@@ -335,34 +342,45 @@ def _cache_write(cache: dict, k, v, pos, valid=None) -> dict:
         out["valid"] = jax.lax.dynamic_update_slice(
             cache["valid"], valid, (0, pos)
         )
+    b, c = k.shape[:2]
     if "k_scale" in cache:
         kq, ks = _quantize_kv(k)
         vq, vs = _quantize_kv(v)
         for name, val in (
-            ("k", kq), ("v", vq), ("k_scale", ks), ("v_scale", vs)
+            ("k", kq.reshape(b, c, -1)),
+            ("v", vq.reshape(b, c, -1)),
+            ("k_scale", ks[..., 0]),
+            ("v_scale", vs[..., 0]),
         ):
             out[name] = jax.lax.dynamic_update_slice(
                 cache[name], val.astype(cache[name].dtype),
-                (0, pos, 0, 0),
+                (0, pos, 0),
             )
     else:
-        for name, val in (("k", k), ("v", v)):
+        for name, val in (("k", k.reshape(b, c, -1)), ("v", v.reshape(b, c, -1))):
             out[name] = jax.lax.dynamic_update_slice(
-                cache[name], val.astype(cache[name].dtype), (0, pos, 0, 0)
+                cache[name], val.astype(cache[name].dtype), (0, pos, 0)
             )
     out["pos"] = pos + k.shape[1]
     return out
 
 
-def _cache_kv(cache: dict):
-    """The cache's K/V as compute arrays (dequantized view if int8 —
-    the multiply fuses into the downstream einsum, codes stream from HBM)."""
+def _cache_kv(cache: dict, kv_heads: int):
+    """The flat cache's K/V as (B, S, KVH, hd) compute views for the jnp
+    einsum paths (the reshape fuses into the downstream dots; dequantized
+    view if int8 — note the dequant multiply does NOT fuse into a dot and
+    materializes, which is why the serving decode path prefers the
+    flash-decode kernel)."""
+    b, s, kvd = cache["k"].shape
+    hd = kvd // kv_heads
+    kc = cache["k"].reshape(b, s, kv_heads, hd)
+    vc = cache["v"].reshape(b, s, kv_heads, hd)
     if "k_scale" in cache:
         return (
-            cache["k"].astype(jnp.float32) * cache["k_scale"],
-            cache["v"].astype(jnp.float32) * cache["v_scale"],
+            kc.astype(jnp.float32) * cache["k_scale"][..., None],
+            vc.astype(jnp.float32) * cache["v_scale"][..., None],
         )
-    return cache["k"], cache["v"]
+    return kc, vc
 
 
 def _split_heads(x, cfg: TernaryAttentionConfig, heads: int | None = None):
@@ -557,13 +575,13 @@ def attention_decode_step(
             cache["k"],
             cache["v"],
             pos,
-            k_scale=cache["k_scale"][..., 0] if quant else None,
-            v_scale=cache["v_scale"][..., 0] if quant else None,
+            k_scale=cache["k_scale"] if quant else None,
+            v_scale=cache["v_scale"] if quant else None,
             window=cfg.window,
             precision=precision,
         ).reshape(b, 1, -1)
     else:
-        kc, vc = _cache_kv(cache)
+        kc, vc = _cache_kv(cache, cfg.kv_heads)
         out = _decode_attention_math(
             q, kc, vc, pos, cfg.head_dim, precision=precision,
             window=cfg.window, valid=cache.get("valid"),
@@ -602,7 +620,7 @@ def attention_extend(
         q = apply_rope(q, chunk_pos, cfg.rope_theta)
         k = apply_rope(k, chunk_pos, cfg.rope_theta)
     cache = _cache_write(cache, k, v, pos)
-    kc, vc = _cache_kv(cache)
+    kc, vc = _cache_kv(cache, cfg.kv_heads)
     out = _chunk_attention_math(
         q, kc, vc, pos, cfg.head_dim, precision=precision,
         window=cfg.window, valid=cache.get("valid"),

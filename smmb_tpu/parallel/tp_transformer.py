@@ -371,8 +371,11 @@ def init_block_cache_tp(
             f"n_heads={cfg.attn.n_heads}/n_kv_heads={cfg.attn.kv_heads} "
             f"must divide model={ms}"
         )
-    shape = (batch, max_len, cfg.attn.kv_heads, cfg.attn.head_dim)
-    sh = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS, None))
+    # flat serving layout (B, S, KVH_total·hd) sharded on head-group
+    # boundaries of the fused last axis (models/attention.init_kv_cache
+    # rationale) — each shard's local view is its own flat head range
+    shape = (batch, max_len, cfg.attn.kv_heads * cfg.attn.head_dim)
+    sh = NamedSharding(mesh, P(DATA_AXIS, None, MODEL_AXIS))
     kv_dtype = jnp.int8 if quantized else dtype
     cache = {
         "k": jax.device_put(jnp.zeros(shape, kv_dtype), sh),
@@ -380,13 +383,13 @@ def init_block_cache_tp(
         "pos": jax.device_put(jnp.int32(0), NamedSharding(mesh, P())),
     }
     if quantized:
-        sshape = shape[:-1] + (1,)
+        sshape = (batch, max_len, cfg.attn.kv_heads)
         for n in ("k_scale", "v_scale"):
             cache[n] = jax.device_put(jnp.zeros(sshape, jnp.float32), sh)
     return cache
 
 
-_KV_SPEC = P(DATA_AXIS, None, MODEL_AXIS, None)
+_KV_SPEC = P(DATA_AXIS, None, MODEL_AXIS)
 
 
 def _cache_specs(cache: dict) -> dict:
@@ -440,7 +443,7 @@ def attn_decode_half_tp(
         q = apply_rope(q, pos + jnp.arange(1), attn_cfg.rope_theta)
         k = apply_rope(k, pos + jnp.arange(1), attn_cfg.rope_theta)
     cache = _cache_write(cache, k, v, pos)
-    kc, vc = _cache_kv(cache)
+    kc, vc = _cache_kv(cache, kvh_loc)
     att = _decode_attention_math(
         q, kc, vc, pos, hd, precision=precision, window=attn_cfg.window
     )

@@ -292,7 +292,8 @@ class TestGQA:
         assert params["wk"].shape == (256, 64)  # kv_dim = 2 * 32
         assert params["wq"].shape == (256, 256)
         cache = init_kv_cache(self.CFG, batch=2, max_len=8)
-        assert cache["k"].shape == (2, 8, 2, 32)  # kv_heads only
+        # flat serving layout: kv_heads · head_dim fused (= 2 · 32)
+        assert cache["k"].shape == (2, 8, 64)
 
     def test_forward_matches_repeated_mha(self):
         # oracle: materialize the repeated K/V projections as an MHA layer

@@ -46,7 +46,7 @@ def test_flash_decode_matches_jnp(h, kvh, pos):
     key = jax.random.PRNGKey(h * 100 + pos)
     cache = _filled_cache(key, B, S, kvh, hd, pos)
     q = jax.random.normal(jax.random.fold_in(key, 1), (B, 1, h, hd))
-    kc, vc = _cache_kv(cache)
+    kc, vc = _cache_kv(cache, kvh)
     want = np.asarray(
         _decode_attention_math(q, kc, vc, jnp.int32(pos), hd)
     )
@@ -64,7 +64,7 @@ def test_flash_decode_window(window):
     key = jax.random.PRNGKey(7)
     cache = _filled_cache(key, B, S, kvh, hd, pos)
     q = jax.random.normal(jax.random.fold_in(key, 1), (B, 1, h, hd))
-    kc, vc = _cache_kv(cache)
+    kc, vc = _cache_kv(cache, kvh)
     want = np.asarray(
         _decode_attention_math(q, kc, vc, jnp.int32(pos), hd, window=window)
     )
@@ -82,15 +82,15 @@ def test_flash_decode_int8_cache():
     key = jax.random.PRNGKey(11)
     cache = _filled_cache(key, B, S, kvh, hd, pos, quantized=True)
     q = jax.random.normal(jax.random.fold_in(key, 1), (B, 1, h, hd))
-    kc, vc = _cache_kv(cache)  # dequantized jnp view = the oracle
+    kc, vc = _cache_kv(cache, kvh)  # dequantized jnp view = the oracle
     want = np.asarray(
         _decode_attention_math(q, kc, vc, jnp.int32(pos), hd)
     )
     got = np.asarray(
         flash_attention_decode(
             q[:, 0], cache["k"], cache["v"], jnp.int32(pos),
-            k_scale=cache["k_scale"][..., 0],
-            v_scale=cache["v_scale"][..., 0],
+            k_scale=cache["k_scale"],
+            v_scale=cache["v_scale"],
             block_kv=32,
         )
     ).reshape(B, 1, -1)
@@ -125,6 +125,6 @@ def test_decode_step_use_flash_matches_jnp(key):
 
 def test_flash_decode_rejects_bad_head_dim():
     q = jnp.zeros((1, 4, 64))
-    kc = jnp.zeros((1, 16, 4, 64))
+    kc = jnp.zeros((1, 16, 256))  # flat cache, head_dim 64 not 128-aligned
     with pytest.raises(ValueError, match="head_dim"):
         flash_attention_decode(q, kc, kc, jnp.int32(0))

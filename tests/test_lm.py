@@ -133,7 +133,7 @@ def test_lm_gqa_decode_matches_forward():
     toks = jax.random.randint(jax.random.PRNGKey(72), (2, 6), 0, cfg.vocab)
     full = lm_forward(packed, toks, cfg, use_kernel=False)
     cache = lm_init_cache(cfg, batch=2)
-    assert cache[0]["k"].shape == (2, 32, 2, 32)  # kv_heads=2 only
+    assert cache[0]["k"].shape == (2, 32, 64)  # flat: kv_heads*hd
     _, cache = lm_prefill(packed, toks[:, :-1], cache, cfg, use_kernel=False)
     step_logits, _ = lm_decode_step(
         packed, toks[:, -1], cache, cfg, use_kernel=False

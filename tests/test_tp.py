@@ -144,7 +144,7 @@ def test_block_decode_tp_gqa_matches_forward():
         block_forward_tp(sharded, x, cfg, mesh=mesh, use_kernel=False)
     )
     cache = init_block_cache_tp(cfg, batch=2, max_len=8, mesh=mesh)
-    assert cache["k"].shape == (2, 8, 2, 256)  # kv heads only
+    assert cache["k"].shape == (2, 8, 512)  # flat: kv_heads*hd
     _, cache = block_prefill_tp(
         sharded, x[:, :-1], cache, cfg, mesh=mesh, use_kernel=False
     )
