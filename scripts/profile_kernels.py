@@ -176,6 +176,40 @@ def main():
     report("LM decode step batch-1 ctx512 bf16 (4 layers, 50 calls)", d4,
            50, lines)
 
+    # 5) int8-cache decode step w/ flash decode at long ctx — chases the
+    # LM-level int8-vs-bf16 gap that the kernel-level numbers contradict
+    cfg8 = TernaryLMConfig(
+        vocab=8192, d_model=1024, n_heads=8, d_ff=4096, n_layers=4,
+        max_len=8448,
+    )
+    lm8 = pack_lm(init_lm(jax.random.PRNGKey(0), cfg8))
+    prompt8 = jax.random.randint(
+        jax.random.PRNGKey(2), (1, 8192), 0, cfg8.vocab
+    )
+    for quant, nm in ((False, "bf16"), (True, "int8")):
+        cache8 = lm_init_cache(cfg8, 1, dtype=jnp.bfloat16, quantized=quant)
+        lg8, cache8 = lm_prefill(
+            lm8, prompt8, cache8, cfg8, use_flash=True, **kwd
+        )
+        tok8 = jnp.argmax(lg8, axis=-1).astype(jnp.int32)
+
+        @jax.jit
+        def step8(tok, cache):
+            lg, c = lm_decode_step(
+                lm8, tok, cache, cfg8, use_flash=True, **kwd
+            )
+            return jnp.argmax(lg, axis=-1).astype(jnp.int32), c
+
+        t(f"tracing LM decode step ctx8192 {nm} cache (flash decode)...")
+        d5 = capture_trace(
+            step8, tok8, cache8,
+            trace_dir=f"/tmp/smmb_prof_decode8k_{nm}", n_calls=20,
+        )
+        report(
+            f"LM decode step batch-1 ctx8192 {nm} cache, flash decode "
+            "(4 layers, 20 calls)", d5, 20, lines,
+        )
+
     out = "docs/PROFILE.md"
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

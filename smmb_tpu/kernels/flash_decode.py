@@ -87,7 +87,7 @@ def _decode_kernel(
     def body(masked):
         q = q_ref[0, 0]  # (G, hd)
         k = k_ref[0]  # (bs, hd) — one head's slice of the (B,S,KVH·hd) view
-        if quant:
+        if k.dtype != compute_dtype:  # int8 codes or mixed-precision cache
             k = k.astype(compute_dtype)
         scores = jax.lax.dot_general(
             q,
@@ -120,6 +120,7 @@ def _decode_kernel(
         v = v_ref[0]  # (bs, hd)
         if quant:
             p = p * vs_ref[0, 0][None, :]
+        if v.dtype != compute_dtype:
             v = v.astype(compute_dtype)
         acc_ref[:] = acc_ref[:] * rescale + jnp.dot(
             p.astype(v.dtype),
@@ -158,6 +159,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "window", "sm_scale", "block_kv", "interpret", "precision",
+        "compute_dtype",
     ),
 )
 def flash_attention_decode(
@@ -173,6 +175,7 @@ def flash_attention_decode(
     block_kv: int = 1024,
     interpret: bool | None = None,
     precision=None,
+    compute_dtype=None,
 ) -> jax.Array:
     """One-token attention over a static-length cache, O(pos) HBM traffic.
 
@@ -189,8 +192,14 @@ def flash_attention_decode(
       k_scale, v_scale: (B, S, KVH) f32 per-token absmax scales (the
         cache's ``k_scale``/``v_scale`` entries as stored).
       window: sliding window — live columns are (pos−window, pos].
+      compute_dtype: dtype of the in-kernel dots (cache tiles convert in
+        VMEM — HBM traffic stays at the stored dtype). Default: q's dtype
+        for an int8 cache, the cache dtype otherwise. The serving layer
+        passes its compute_dtype so an f32-embedded LM still runs bf16
+        dots (without this the int8 path silently ran f32 HIGHEST —
+        measured 2× kernel time inside the LM, docs/PROFILE.md).
     Returns:
-      (B, H, hd) in q's dtype.
+      (B, H, hd) in the compute dtype.
     """
     b, h, hd = q.shape
     bk, s_len, kvd = kc.shape
@@ -209,22 +218,22 @@ def flash_attention_decode(
     g = h // kvh
     if sm_scale is None:
         sm_scale = 1.0 / hd ** 0.5
-    if not quant and q.dtype != kc.dtype:
+    if compute_dtype is None:
+        compute_dtype = q.dtype if quant else kc.dtype
+    if q.dtype != compute_dtype:
         # mixed-dtype dots don't lower on the MXU (jnp einsums silently
-        # promote instead); the cache dtype IS the serving precision
-        # choice, so the one-token q follows it
-        q = q.astype(kc.dtype)
+        # promote instead); cache tiles convert in VMEM where needed
+        q = q.astype(compute_dtype)
 
     bs = min(block_kv, s_len)
     ns = pl.cdiv(s_len, bs)
     qg = q.reshape(b, kvh, g, hd)
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
-    compute_dtype = q.dtype
 
     if precision is None:
         precision = (
             jax.lax.Precision.HIGHEST
-            if q.dtype == jnp.float32
+            if compute_dtype == jnp.float32
             else jax.lax.Precision.DEFAULT
         )
 

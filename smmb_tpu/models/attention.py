@@ -579,6 +579,7 @@ def attention_decode_step(
             v_scale=cache["v_scale"] if quant else None,
             window=cfg.window,
             precision=precision,
+            compute_dtype=compute_dtype,
         ).reshape(b, 1, -1)
     else:
         kc, vc = _cache_kv(cache, cfg.kv_heads)
