@@ -87,12 +87,45 @@ def run_decode_bench(
         return x_t, new
 
     prompt = rng.rand_dense(jax.random.PRNGKey(1), (batch, prompt_len, d_model))
+    caches0 = caches
     y, caches = prefill(prompt, caches)
     jax.block_until_ready(y)
-    meas_pre = measure_device(prefill, prompt, caches, reps=reps)
 
+    # close over the empty caches so the PROMPT is the gated loop input —
+    # gating only the cache position lets XLA hoist the (loop-invariant)
+    # attention compute out of the measurement loop (observed: "prefill"
+    # at 27 µs for 512 tokens, 10× under its own compute floor)
+    @jax.jit
+    def prefill_fn(x):
+        return prefill(x, caches0)
+
+    meas_pre = measure_device(prefill_fn, prompt, reps=reps)
+
+    # decode steps are measured the way serving runs them — a lax.scan
+    # carrying the caches — and as a slope between two scan lengths.
+    # Timing a bare step(x, caches) call instead measures full cache
+    # copies every call (non-donated inputs can't be updated in place),
+    # which is the harness's artifact, not the serving cost.
     x_t = rng.rand_dense(jax.random.PRNGKey(2), (batch, 1, d_model))
-    meas = measure_device(step, x_t, caches, reps=reps)
+
+    def steps_fn(n):
+        @jax.jit
+        def run(x_t, caches):
+            def body(carry, _):
+                x_t, caches = carry
+                y, caches = step(x_t, caches)
+                # value-dependence: next step's input follows this one
+                return ((x_t + y * 1e-6).astype(x_t.dtype), caches), ()
+
+            (xf, _), _ = jax.lax.scan(body, (x_t, caches), None, length=n)
+            return xf
+
+        return run
+
+    n0 = 16
+    lo = measure_device(steps_fn(n0), x_t, caches, reps=reps).min_s
+    hi = measure_device(steps_fn(3 * n0), x_t, caches, reps=reps).min_s
+    step_s = max((hi - lo) / (2 * n0), 1e-9)
 
     # byte roofline per decode step: all packed planes once + the LIVE
     # KV prefix (a perfect step reads only pos+1 cached tokens — the
@@ -108,9 +141,9 @@ def run_decode_bench(
     spec = chip_spec()
     sol = (wbytes + kv_bytes) / (spec.hbm_gbps * 1e9)
     return DecodeBenchResult(
-        step_s=meas.min_s,
-        tokens_per_s=batch / meas.min_s,
-        frac_roofline=sol / meas.min_s,
+        step_s=step_s,
+        tokens_per_s=batch / step_s,
+        frac_roofline=sol / step_s,
         prefill_s=meas_pre.min_s,
         prefill_tokens_per_s=batch * prompt_len / meas_pre.min_s,
     )
