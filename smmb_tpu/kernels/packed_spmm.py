@@ -296,18 +296,19 @@ def packed_spmm(
         block_m = 256
     # compute-bound regime at wide N and deep K: a full-width N tile with
     # shallow K steps keeps the y accumulator resident while the decode of
-    # the next K slab overlaps the current dot (v5e probe 2026-08-19,
-    # 256x4096x4096 bf16: bn4096/bk512 50.2us vs bn512/bk2048 55.6us vs
-    # bn2048/bk1024 52.0us — scripts/probe_r3_tiles.py). bf16 only: the
-    # f32 scratch+accumulator at these tiles exceeds the 16M VMEM budget
-    # (measured 20.53M OOM), and int8 (W2A8) is unmeasured at them.
+    # the next K slab overlaps the current dot (v5e probes 2026-08-19,
+    # 256x4096x4096: bf16 bn4096/bk512 50.2us vs bn512/bk2048 55.6us
+    # [scripts/probe_r3_tiles.py]; int8 W2A8 32.1us vs 36.6
+    # [scripts/probe_w2a8_tiles.py]). bf16/int8 only: the f32
+    # scratch+accumulator at these tiles exceeds the 16M VMEM budget
+    # (measured 20.53M OOM).
     wide_n = (
         block_n is None
         and block_k is None
         and m > 32
         and w.data.shape[1] >= 4096
         and k >= 2048
-        and compute_dtype == jnp.bfloat16
+        and compute_dtype in (jnp.bfloat16, jnp.int8)
     )
     if block_n is None:
         # weight-streaming regime: wide N-tiles amortize per-dot MXU pass
