@@ -564,9 +564,15 @@ def attention_decode_step(
     cache = _cache_write(cache, k, v, pos)
     if (
         use_flash
+        and b == 1
         and cache.get("valid") is None
         and cfg.head_dim % 128 == 0
     ):
+        # batch-1 only (measured, bench_out/lm_batch8.txt): at batch>1 the
+        # jnp einsum batches all rows into one M=B·g dot per head while
+        # the kernel issues M=g dots per (batch, head) grid step — batch-8
+        # MHA ctx1000 measured 385.8 us/step jnp vs 511.3 kernel. Flash
+        # decode is the batch-1 long-context latency path.
         from smmb_tpu.kernels.flash_decode import flash_attention_decode
 
         quant = "k_scale" in cache
