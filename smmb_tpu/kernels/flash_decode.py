@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from smmb_tpu.kernels._compat import use_interpret
 
 _NEG = -1e30
+_LOG2E = 1.4426950408889634  # softmax runs in base 2 (see flash_attention)
 
 
 def _decode_kernel(
@@ -64,7 +65,6 @@ def _decode_kernel(
     v_ref,
     *rest,
     ns: int,
-    sm_scale: float,
     window: int | None,
     block_kv: int,
     quant: bool,
@@ -89,15 +89,19 @@ def _decode_kernel(
         k = k_ref[0]  # (bs, hd) — one head's slice of the (B,S,KVH·hd) view
         if k.dtype != compute_dtype:  # int8 codes or mixed-precision cache
             k = k.astype(compute_dtype)
+        # (G, bs); the wrapper pre-folds sm_scale*log2(e) into q and the
+        # online softmax runs in base 2 — no per-score scale multiply
         scores = jax.lax.dot_general(
             q,
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision,
-        ) * sm_scale  # (G, bs)
+        )
         if quant:
-            # per-token absmax scale, lane-aligned: (1, bs) broadcast
+            # per-token absmax scale, lane-aligned: (1, bs) broadcast.
+            # Linear in the score, so it commutes with the log2e factor
+            # already folded into q.
             scores = scores * ks_ref[0, 0][None, :]
         if masked:
             col = s * block_kv + jax.lax.broadcasted_iota(
@@ -110,8 +114,8 @@ def _decode_kernel(
 
         m_prev = m_ref[:, :1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
-        rescale = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new)
+        rescale = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(scores - m_new)
         l_ref[:] = jnp.broadcast_to(
             l_ref[:, :1] * rescale + jnp.sum(p, axis=-1, keepdims=True),
             l_ref.shape,
@@ -220,10 +224,12 @@ def flash_attention_decode(
         sm_scale = 1.0 / hd ** 0.5
     if compute_dtype is None:
         compute_dtype = q.dtype if quant else kc.dtype
-    if q.dtype != compute_dtype:
-        # mixed-dtype dots don't lower on the MXU (jnp einsums silently
-        # promote instead); cache tiles convert in VMEM where needed
-        q = q.astype(compute_dtype)
+    # fold sm_scale AND the exp→exp2 change of base into q once (q is one
+    # token — O(B·H·hd)); also lands q in compute_dtype (mixed-dtype dots
+    # don't lower on the MXU; cache tiles convert in VMEM where needed)
+    q = (q.astype(jnp.float32) * (float(sm_scale) * _LOG2E)).astype(
+        compute_dtype
+    )
 
     bs = min(block_kv, s_len)
     ns = pl.cdiv(s_len, bs)
@@ -284,7 +290,6 @@ def flash_attention_decode(
         functools.partial(
             _decode_kernel,
             ns=ns,
-            sm_scale=float(sm_scale),
             window=window,
             block_kv=bs,
             quant=quant,
