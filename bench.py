@@ -38,7 +38,10 @@ TARGET_FRAC = 0.80  # BASELINE.md per-chip roofline target
 
 def main():
     from smmb_tpu.utils.cache import enable_compile_cache
+    from smmb_tpu.utils.stamp import stamp
 
+    # provenance on stderr — stdout stays the single JSON line
+    print(stamp(), file=sys.stderr, flush=True)
     enable_compile_cache()
     kx, kw, kb = jax.random.split(jax.random.PRNGKey(0), 3)
     x = rng.rand_dense(kx, (M, K))

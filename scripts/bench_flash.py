@@ -11,6 +11,13 @@ so its traffic is Q+KV+O only and the causal work is compute-bound. Run:
 import time
 
 T0 = time.time()
+
+# provenance stamp: first output line records the commit being measured
+# (round-3 VERDICT #1 — artifacts must match the code at HEAD)
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from smmb_tpu.utils.stamp import print_stamp
+print_stamp()
 import jax
 
 try:

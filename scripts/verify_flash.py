@@ -9,6 +9,13 @@ multi-tile T, then a quick timing point. Run:
 import time
 
 T0 = time.time()
+
+# provenance stamp: first output line records the commit being measured
+# (round-3 VERDICT #1 — artifacts must match the code at HEAD)
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from smmb_tpu.utils.stamp import print_stamp
+print_stamp()
 import jax
 
 try:

@@ -9,7 +9,9 @@ import sys
 
 def main():
     from smmb_tpu.utils.cache import enable_compile_cache
+    from smmb_tpu.utils.stamp import print_stamp
 
+    print_stamp()  # every artifact records the commit it measured
     enable_compile_cache()
     args = sys.argv[1:]
     mode = args[0] if args else "showcase"
