@@ -79,12 +79,13 @@ def scan_probe(name, kc, vc, ksc=None, vsc=None, reshape_4d=False):
             kc = jax.lax.dynamic_update_slice(kc, newk, (0, pos + 1, 0))
             vc = jax.lax.dynamic_update_slice(vc, newk, (0, pos + 1, 0))
             if ksc is not None:
-                news = jnp.ones((B, 1, KVH), jnp.float32)
+                # scales store (B, KVH, S) — models/attention.init_kv_cache
+                news = jnp.ones((B, KVH, 1), jnp.float32)
                 ksc = jax.lax.dynamic_update_slice(
-                    ksc, news, (0, pos + 1, 0)
+                    ksc, news, (0, 0, pos + 1)
                 )
                 vsc = jax.lax.dynamic_update_slice(
-                    vsc, news, (0, pos + 1, 0)
+                    vsc, news, (0, 0, pos + 1)
                 )
             q2 = (q + o.astype(q.dtype) * 0.001).astype(q.dtype)
             return (kc, vc, ksc, vsc, pos + 1, q2), jnp.sum(o).astype(
@@ -104,8 +105,8 @@ scan_probe("C flat carry (shipped layout)    ", kc, vc)
 
 kc8 = jax.random.randint(kk, (B, S, KVD), -127, 127, jnp.int8)
 vc8 = jax.random.randint(kv, (B, S, KVD), -127, 127, jnp.int8)
-ksc = jax.random.uniform(ks, (B, S, KVH), jnp.float32, 0.01, 0.03)
-vsc = jax.random.uniform(ks, (B, S, KVH), jnp.float32, 0.01, 0.03)
+ksc = jax.random.uniform(ks, (B, KVH, S), jnp.float32, 0.01, 0.03)
+vsc = jax.random.uniform(ks, (B, KVH, S), jnp.float32, 0.01, 0.03)
 scan_probe("D int8 flat carry                ", kc8, vc8, ksc, vsc)
 t("DONE (variant B — the reshape-fed-custom-call copy — needs the old "
   "4D layout; see git history of kernels/flash_decode.py)")

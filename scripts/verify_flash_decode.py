@@ -81,6 +81,25 @@ if FAILED:
     raise SystemExit(1)
 
 # ---- timing: per-step decode attention at long context ----
+# jnp baselines measure with ROTATED caches (measure.py rotate_argnums):
+# a loop-invariant cache small enough to pin in on-chip memory reads
+# below the HBM floor (round-3's impossible 4.0/6.6 us GQA rows —
+# diagnosed in scripts/probe_subfloor.py; the dynamic-slice indexing
+# fuses into the einsums, verified +3% on the non-pinnable MHA case).
+# The Pallas kernel streams tiles from HBM by construction and its
+# committed rows sit above floor, so it measures unrotated; any printed
+# number below its traffic floor FAILS the run (VERDICT r3 #9).
+SUBFLOOR = []
+
+
+def row(tag, floor_us, jnp_us, kernel_us):
+    t(f"{tag}: jnp {jnp_us:7.1f} us | kernel {kernel_us:7.1f} us | "
+      f"traffic floor {floor_us:.1f} us")
+    for which, v in (("jnp", jnp_us), ("kernel", kernel_us)):
+        if v < floor_us:
+            SUBFLOOR.append(f"{tag} {which} {v:.1f} < floor {floor_us:.1f}")
+
+
 for ctx, kvh_, name in [(8192, 8, "MHA"), (16384, 8, "MHA"),
                         (8192, 2, "GQA/2"), (16384, 2, "GQA/2")]:
     h = 8
@@ -97,31 +116,34 @@ for ctx, kvh_, name in [(8192, 8, "MHA"), (16384, 8, "MHA"),
         lambda q, kc, vc: _decode_attention_math(
             q[:, None], kc, vc, pos, HD
         ),
-        q, kcb, vcb, reps=3,
+        q, kcb, vcb, reps=3, rotate_argnums=(1, 2),
     )
     mk = measure_device(
         lambda q, kc, vc: flash_attention_decode(q, kc, vc, pos),
         q, kcf, vcf, reps=3,
     )
     floor = 2 * ctx * kvh_ * HD * 2 / 819e9 * 1e6  # live KV bytes @ HBM BW
-    t(f"bf16 {name} ctx={ctx}: jnp {mj.min_s*1e6:7.1f} us | kernel "
-      f"{mk.min_s*1e6:7.1f} us | traffic floor {floor:.1f} us")
+    row(f"bf16 {name} ctx={ctx}", floor, mj.min_s * 1e6, mk.min_s * 1e6)
 
-    # int8 cache: quantize the same values
+    # int8 cache: quantize the same values (scales stored (B, KVH, S),
+    # models/attention.init_kv_cache layout)
     from smmb_tpu.models.attention import _quantize_kv
 
     kq8, ks = _quantize_kv(kcb)
     vq8, vs = _quantize_kv(vcb)
     kq8f = kq8.reshape(B, S2, kvh_ * HD)
     vq8f = vq8.reshape(B, S2, kvh_ * HD)
-    ksf, vsf = ks[..., 0], vs[..., 0]
+    ksf = ks[..., 0].transpose(0, 2, 1)
+    vsf = vs[..., 0].transpose(0, 2, 1)
 
     def jnp_int8(q, kq8f, vq8f, ksf, vsf):
         cache = {"k": kq8f, "v": vq8f, "k_scale": ksf, "v_scale": vsf}
         kc, vc = _cache_kv(cache, kvh_)
         return _decode_attention_math(q[:, None], kc, vc, pos, HD)
 
-    mjq = measure_device(jnp_int8, q, kq8f, vq8f, ksf, vsf, reps=3)
+    mjq = measure_device(
+        jnp_int8, q, kq8f, vq8f, ksf, vsf, reps=3, rotate_argnums=(1, 2)
+    )
     mkq = measure_device(
         lambda q, kq8f, vq8f, ksf, vsf: flash_attention_decode(
             q, kq8f, vq8f, pos, k_scale=ksf, v_scale=vsf
@@ -129,6 +151,11 @@ for ctx, kvh_, name in [(8192, 8, "MHA"), (16384, 8, "MHA"),
         q, kq8f, vq8f, ksf, vsf, reps=3,
     )
     floor8 = ctx * kvh_ * HD * 2 / 819e9 * 1e6  # int8 halves KV bytes
-    t(f"int8 {name} ctx={ctx}: jnp {mjq.min_s*1e6:7.1f} us | kernel "
-      f"{mkq.min_s*1e6:7.1f} us | traffic floor {floor8:.1f} us")
+    row(f"int8 {name} ctx={ctx}", floor8, mjq.min_s * 1e6, mkq.min_s * 1e6)
+
+if SUBFLOOR:
+    t("SUBFLOOR readings (physically impossible as cache reads) — FAIL:")
+    for s in SUBFLOOR:
+        t("  " + s)
+    raise SystemExit(1)
 t("DONE")

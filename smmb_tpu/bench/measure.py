@@ -91,13 +91,25 @@ def measure(
     )
 
 
-def _device_loop(fn, n_iters: int):
+def _device_loop(fn, n_iters: int, rotate_argnums=(), rotate_copies=1):
     """Jit a program that runs ``fn`` n_iters times on-device.
 
     ``lax.scan`` re-executes the body each trip; the optimization_barrier on
     the carried inputs makes them formally loop-dependent, which blocks XLA
     from hoisting the (loop-invariant) kernel call out of the loop. A scalar
     probe of each output keeps the kernel live.
+
+    ``rotate_argnums``/``rotate_copies``: those positional args arrive
+    STACKED ``rotate_copies`` times along a new leading axis and iteration
+    ``i`` uses copy ``i % rotate_copies``. Rationale (measured,
+    scripts/probe_subfloor.py): a loop-invariant operand small enough to be
+    pinned in on-chip memory across scan iterations measures BELOW its HBM
+    traffic floor (jnp GQA decode over an 8.5 MB cache: 4.0 µs vs the
+    10.2 µs floor) — rotating over enough copies that the total footprint
+    exceeds on-chip memory restores true HBM-streaming conditions (20.6 µs
+    same case; a non-pinnable 33.8 MB cache measures the same rotated or
+    not, so the dynamic-slice indexing fuses into consumers and adds ~3 µs,
+    not a cache-sized copy).
     """
     import jax.numpy as jnp
 
@@ -119,20 +131,31 @@ def _device_loop(fn, n_iters: int):
         treedef = jax.tree_util.tree_structure(args)
 
         def body(carry, _):
-            out = fn(*carry)
+            base, i = carry
+            if rotate_argnums:
+                call = list(base)
+                for a in rotate_argnums:
+                    call[a] = jax.lax.dynamic_index_in_dim(
+                        base[a], i % rotate_copies, 0, keepdims=False
+                    )
+                out = fn(*call)
+            else:
+                out = fn(*base)
             live = jax.tree_util.tree_reduce(
                 lambda a, l: a + jnp.sum(jnp.abs(l)).astype(jnp.float32),
                 out,
                 jnp.float32(0.0),
             )
-            leaves = jax.tree_util.tree_leaves(carry)
+            leaves = jax.tree_util.tree_leaves(base)
             lv = leaves[small]
             # always-true at runtime (live is finite), unprovable statically
             leaves[small] = jnp.where(live < jnp.inf, lv, jnp.zeros_like(lv))
-            carry = jax.tree_util.tree_unflatten(treedef, leaves)
-            return carry, live
+            base = jax.tree_util.tree_unflatten(treedef, leaves)
+            return (base, (i + 1) % (1 << 30)), live
 
-        _, probes = jax.lax.scan(body, args, None, length=n_iters)
+        _, probes = jax.lax.scan(
+            body, (args, jnp.int32(0)), None, length=n_iters
+        )
         return probes[-1]
 
     return jax.jit(run)
@@ -144,6 +167,8 @@ def measure_device(
     iters: int | None = None,
     reps: int = DEFAULT_REPS,
     min_batch_s: float = 0.3,
+    rotate_argnums: tuple = (),
+    rotate_min_mb: float = 512.0,
 ) -> Measurement:
     """Per-call device time, robust to dispatch latency AND contention.
 
@@ -162,7 +187,38 @@ def measure_device(
          and the median as ``mean_s``.
 
     ``iters`` overrides the calibrated R (step 1 skipped).
+
+    ``rotate_argnums``: positional args that a real workload would STREAM
+    from HBM (e.g. a KV cache). They are replicated (with per-copy offsets)
+    until their total footprint reaches ``rotate_min_mb`` and each loop
+    iteration uses a different copy — defeating the on-chip pinning of a
+    small loop-invariant operand that otherwise yields below-HBM-floor
+    readings (see _device_loop; measured in scripts/probe_subfloor.py).
     """
+    import jax.numpy as jnp
+
+    rotate_copies = 1
+    if rotate_argnums:
+        rot_bytes = sum(
+            args[a].size * args[a].dtype.itemsize for a in rotate_argnums
+        )
+        rotate_copies = max(2, int(np.ceil(rotate_min_mb * 1e6 / rot_bytes)))
+        args = list(args)
+        for a in rotate_argnums:
+            x = args[a]
+            # per-copy offset so no copy is CSE-able into another; int
+            # dtypes get a no-op offset (codes must stay in range)
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                offs = jnp.arange(rotate_copies, dtype=x.dtype).reshape(
+                    (rotate_copies,) + (1,) * x.ndim
+                )
+                args[a] = x[None] + offs * jnp.asarray(1e-6, x.dtype)
+            else:
+                args[a] = jnp.broadcast_to(x[None], (rotate_copies,) + x.shape)
+                # materialize the broadcast so each copy occupies real HBM
+                args[a] = args[a] + jnp.zeros((), x.dtype)
+        args = tuple(args)
+
     def run(f) -> float:
         # time by MATERIALIZING the loop's scalar probe: float() forces a
         # device-to-host read of a value that depends on every iteration,
@@ -176,7 +232,7 @@ def measure_device(
     if iters is None:
         iters = 16
         while True:
-            loop = _device_loop(fn, iters)
+            loop = _device_loop(fn, iters, rotate_argnums, rotate_copies)
             run(loop)  # compile + settle
             t = min(run(loop), run(loop))
             if t >= min_batch_s or iters >= 1 << 18:
@@ -188,8 +244,8 @@ def measure_device(
                 1 << 18,
             )
 
-    short = _device_loop(fn, iters)
-    long = _device_loop(fn, 2 * iters)
+    short = _device_loop(fn, iters, rotate_argnums, rotate_copies)
+    long = _device_loop(fn, 2 * iters, rotate_argnums, rotate_copies)
     run(short)  # compile
     run(long)
 

@@ -85,6 +85,11 @@ def _flash_kernel(
         # too — the kernel is VPU-bound at hd=128 (measured 0.50 of MXU
         # peak before this change, T=4096 causal MHA bf16). Folding in the
         # wrapper instead would cost an HBM round-trip of q per call.
+        # Precision note: rounding scale*log2e to a bf16 CONSTANT perturbs
+        # the softmax temperature by a systematic ~2^-9 (a bias, not
+        # per-element noise); softmax is shift-invariant so only relative
+        # score differences see it, and it sits well inside the bf16 test
+        # tolerance (0.05) and the kernel's parity artifacts.
         q = q_ref[0] * jnp.asarray(scale * _LOG2E, q_ref.dtype)
         k = k_ref[0]
         # scores: (BQ, BS) = q @ k^T, f32 accumulation on the MXU

@@ -70,7 +70,19 @@ def _decode_kernel(
     quant: bool,
     precision,
     compute_dtype,
+    nq: int = 1,
+    g: int = 1,
 ):
+    """Online-softmax decode/verify over the cache's s-tiles.
+
+    ``nq`` query TOKENS per row-block (C of a verify/extend chunk; 1 for
+    plain decode): the q block holds nq·g rows ordered (token, group) and
+    row r's own position is ``pos + r // g`` — the per-row causal mask on
+    boundary tiles. nq == 1 generates EXACTLY the round-3 decode kernel
+    (the per-row mask reduces to ``col <= pos``), which is what makes the
+    C=1 step and the C=k+1 verify bitwise row-identical — the property
+    speculative decoding's losslessness rests on (models/spec_decode.py).
+    """
     if quant:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
@@ -85,11 +97,11 @@ def _decode_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def body(masked):
-        q = q_ref[0, 0]  # (G, hd)
+        q = q_ref[0, 0]  # (nq·G, hd)
         k = k_ref[0]  # (bs, hd) — one head's slice of the (B,S,KVH·hd) view
         if k.dtype != compute_dtype:  # int8 codes or mixed-precision cache
             k = k.astype(compute_dtype)
-        # (G, bs); the wrapper pre-folds sm_scale*log2(e) into q and the
+        # (nq·G, bs); the wrapper pre-folds sm_scale*log2(e) into q and the
         # online softmax runs in base 2 — no per-score scale multiply
         scores = jax.lax.dot_general(
             q,
@@ -107,9 +119,16 @@ def _decode_kernel(
             col = s * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1
             )
-            live = col <= pos
+            if nq == 1:
+                row_pos = pos
+            else:
+                # row r is token r // g at global position pos + r // g
+                row_pos = pos + (
+                    jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0) // g
+                )
+            live = col <= row_pos
             if window is not None:
-                live = jnp.logical_and(live, col > pos - window)
+                live = jnp.logical_and(live, col > row_pos - window)
             scores = jnp.where(live, scores, _NEG)
 
         m_prev = m_ref[:, :1]
@@ -133,15 +152,19 @@ def _decode_kernel(
             precision=precision,
         )
 
-    live_tile = s * block_kv <= pos
-    # the tile containing pos (and, under a window, the one holding the
-    # window's lower edge) needs the mask; interior tiles skip it
+    # chunk rows span positions [pos, pos + nq); a tile is live if any
+    # row attends into it, and mask-free ("full") only if EVERY (row, col)
+    # in it is live — the strictest row is token 0 for the upper edge and
+    # token nq-1 for a window's lower edge. nq == 1 reduces to round 3's
+    # single-pos conditions exactly.
+    last = pos + (nq - 1)
+    live_tile = s * block_kv <= last
     full = (s + 1) * block_kv - 1 <= pos
     if window is not None:
         live_tile = jnp.logical_and(
             live_tile, s * block_kv + block_kv - 1 > pos - window
         )
-        full = jnp.logical_and(full, s * block_kv > pos - window)
+        full = jnp.logical_and(full, s * block_kv > last - window)
 
     @pl.when(jnp.logical_and(live_tile, full))
     def _():
@@ -157,6 +180,167 @@ def _decode_kernel(
         o_ref[0, 0] = (
             jnp.where(l > 0, acc_ref[:] / jnp.where(l > 0, l, 1.0), 0.0)
         ).astype(o_ref.dtype)
+
+
+def _flash_cache_attention(
+    q4: jax.Array,  # (B, nq, H, hd) — nq chunk tokens at pos..pos+nq-1
+    kc: jax.Array,
+    vc: jax.Array,
+    pos: jax.Array,
+    k_scale,
+    v_scale,
+    window,
+    sm_scale,
+    block_kv,
+    interpret,
+    precision,
+    compute_dtype,
+) -> jax.Array:
+    """Shared implementation: nq-token chunk attention over the flat cache.
+
+    Row blocks hold nq·g rows ordered (token, group); row r attends cache
+    columns ≤ pos + r//g (window-clipped). nq=1 is the decode step; nq>1
+    is the verify/extend chunk — SAME kernel, same tile order, same online
+    softmax accumulation, so per-row results are bitwise independent of
+    the other rows in the chunk (speculative decoding's losslessness
+    contract, models/spec_decode.py).
+    """
+    b, nq, h, hd = q4.shape
+    bk, s_len, kvd = kc.shape
+    if bk != b or vc.shape != kc.shape:
+        raise ValueError(f"q {q4.shape} vs kc {kc.shape} vs vc {vc.shape}")
+    if hd % 128:
+        raise ValueError(f"head_dim {hd} % 128 != 0 — use the jnp path")
+    if kvd % hd:
+        raise ValueError(f"cache width {kvd} not a multiple of head_dim {hd}")
+    kvh = kvd // hd
+    if h % kvh:
+        raise ValueError(f"H {h} % KVH {kvh} != 0")
+    quant = k_scale is not None
+    if quant != (v_scale is not None) or quant != (kc.dtype == jnp.int8):
+        raise ValueError("int8 cache requires both k_scale and v_scale")
+    if compute_dtype is not None and not jnp.issubdtype(
+        jnp.dtype(compute_dtype), jnp.floating
+    ):
+        # the sm_scale*log2e fold shrinks q by ~10x before the cast; an
+        # integer compute_dtype would silently round it to near-zero
+        raise ValueError(f"compute_dtype must be floating, got {compute_dtype}")
+    g = h // kvh
+    if sm_scale is None:
+        sm_scale = 1.0 / hd ** 0.5
+    if compute_dtype is None:
+        compute_dtype = q4.dtype if quant else kc.dtype
+    # fold sm_scale AND the exp→exp2 change of base into q once (q is nq
+    # tokens — O(B·nq·H·hd)); also lands q in compute_dtype (mixed-dtype
+    # dots don't lower on the MXU; cache tiles convert in VMEM)
+    q4 = (q4.astype(jnp.float32) * (float(sm_scale) * _LOG2E)).astype(
+        compute_dtype
+    )
+
+    bs = min(block_kv, s_len)
+    ns = pl.cdiv(s_len, bs)
+    rows = nq * g
+    # (B, nq, KVH, G, hd) → (B, KVH, nq·G, hd): rows ordered (token, group)
+    qg = (
+        q4.reshape(b, nq, kvh, g, hd)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(b, kvh, rows, hd)
+    )
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+
+    if precision is None:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+
+    def _pos_of(pos_arg):
+        # index maps receive the prefetched scalar as a 0-d value on some
+        # paths and as the (1,)-shaped SMEM ref on others — unpack by shape
+        return pos_arg if len(getattr(pos_arg, "shape", ())) == 0 else pos_arg[0]
+
+    def kv_index(bi, hi, si, pos_arg):
+        # the head's (bs, hd) tile is the lane-axis block ``hi`` of the
+        # flat (B, S, KVH·hd) cache — Mosaic-legal and copy-free.
+        p = _pos_of(pos_arg)
+        top = (p + nq - 1) // bs  # the tile holding the chunk's last row
+        if window is None:
+            return (bi, jnp.minimum(si, top), hi)
+        # token 0's lower window edge is the lowest column any row reads
+        lo = jnp.maximum(0, (p - window + 1) // bs)
+        return (bi, jnp.clip(si, lo, top), hi)
+
+    kv_spec = pl.BlockSpec((1, bs, hd), kv_index, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, rows, hd),
+            lambda bi, hi, si, pos_arg: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        kv_spec,
+        kv_spec,
+    ]
+    inputs = [qg, kc, vc]  # flat caches pass through untouched
+    if quant:
+        if k_scale.shape != (b, kvh, s_len) or v_scale.shape != k_scale.shape:
+            raise ValueError(
+                f"scales must be (B, KVH, S)=({b}, {kvh}, {s_len}) as stored "
+                f"by init_kv_cache, got {k_scale.shape}/{v_scale.shape}"
+            )
+
+        # index map mirrors the kv clamp: (b·kvh flat, 0, clamped si);
+        # the singleton middle axis satisfies Mosaic's block-dim rule
+        def sc_index(bi, hi, si, pos_arg):
+            idx = kv_index(bi, hi, si, pos_arg)
+            return (bi * kvh + hi, 0, idx[1])
+
+        sc_spec = pl.BlockSpec((1, 1, bs), sc_index, memory_space=pltpu.VMEM)
+        in_specs += [sc_spec, sc_spec]
+        # (B, KVH, S) → (B·KVH, 1, S): contiguous, a free view
+        inputs += [
+            k_scale.reshape(b * kvh, 1, s_len),
+            v_scale.reshape(b * kvh, 1, s_len),
+        ]
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel,
+            ns=ns,
+            window=window,
+            block_kv=bs,
+            quant=quant,
+            precision=precision,
+            compute_dtype=compute_dtype,
+            nq=nq,
+            g=g,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, kvh, ns),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, 1, rows, hd),
+                lambda bi, hi, si, pos_arg: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.float32),
+                pltpu.VMEM((rows, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, kvh, rows, hd), q4.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(interpret),
+    )(pos_arr, *inputs)
+    # (B, KVH, nq·G, hd) → (B, nq, H, hd)
+    return (
+        out.reshape(b, kvh, nq, g, hd)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(b, nq, h, hd)
+    )
 
 
 @functools.partial(
@@ -193,8 +377,12 @@ def flash_attention_decode(
         inferred as ``kc.shape[-1] // hd``.
       pos: () or (1,) int32 — the query's own position; cache columns
         ≤ pos are live (the just-written own token included).
-      k_scale, v_scale: (B, S, KVH) f32 per-token absmax scales (the
-        cache's ``k_scale``/``v_scale`` entries as stored).
+      k_scale, v_scale: (B, KVH, S) f32 per-token absmax scales (the
+        cache's ``k_scale``/``v_scale`` entries as stored —
+        models/attention.init_kv_cache keeps them pre-transposed so the
+        kernel's lane-aligned reads need no per-call materialized
+        transpose; the reshape to (B·KVH, 1, S) in the impl is a free
+        view).
       window: sliding window — live columns are (pos−window, pos].
       compute_dtype: dtype of the in-kernel dots (cache tiles convert in
         VMEM — HBM traffic stays at the stored dtype). Default: q's dtype
@@ -205,116 +393,48 @@ def flash_attention_decode(
     Returns:
       (B, H, hd) in the compute dtype.
     """
-    b, h, hd = q.shape
-    bk, s_len, kvd = kc.shape
-    if bk != b or vc.shape != kc.shape:
-        raise ValueError(f"q {q.shape} vs kc {kc.shape} vs vc {vc.shape}")
-    if hd % 128:
-        raise ValueError(f"head_dim {hd} % 128 != 0 — use the jnp path")
-    if kvd % hd:
-        raise ValueError(f"cache width {kvd} not a multiple of head_dim {hd}")
-    kvh = kvd // hd
-    if h % kvh:
-        raise ValueError(f"H {h} % KVH {kvh} != 0")
-    quant = k_scale is not None
-    if quant != (v_scale is not None) or quant != (kc.dtype == jnp.int8):
-        raise ValueError("int8 cache requires both k_scale and v_scale")
-    g = h // kvh
-    if sm_scale is None:
-        sm_scale = 1.0 / hd ** 0.5
-    if compute_dtype is None:
-        compute_dtype = q.dtype if quant else kc.dtype
-    # fold sm_scale AND the exp→exp2 change of base into q once (q is one
-    # token — O(B·H·hd)); also lands q in compute_dtype (mixed-dtype dots
-    # don't lower on the MXU; cache tiles convert in VMEM where needed)
-    q = (q.astype(jnp.float32) * (float(sm_scale) * _LOG2E)).astype(
-        compute_dtype
+    out = _flash_cache_attention(
+        q[:, None], kc, vc, pos, k_scale, v_scale, window, sm_scale,
+        block_kv, interpret, precision, compute_dtype,
     )
+    return out[:, 0]
 
-    bs = min(block_kv, s_len)
-    ns = pl.cdiv(s_len, bs)
-    qg = q.reshape(b, kvh, g, hd)
-    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
 
-    if precision is None:
-        precision = (
-            jax.lax.Precision.HIGHEST
-            if compute_dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT
-        )
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "window", "sm_scale", "block_kv", "interpret", "precision",
+        "compute_dtype",
+    ),
+)
+def flash_attention_chunk(
+    q: jax.Array,
+    kc: jax.Array,
+    vc: jax.Array,
+    pos: jax.Array,
+    *,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+    window: int | None = None,
+    sm_scale: float | None = None,
+    block_kv: int = 1024,
+    interpret: bool | None = None,
+    precision=None,
+    compute_dtype=None,
+) -> jax.Array:
+    """C-token chunk attention over a static-length cache (extend/verify).
 
-    def _pos_of(pos_arg):
-        # index maps receive the prefetched scalar as a 0-d value on some
-        # paths and as the (1,)-shaped SMEM ref on others — unpack by shape
-        return pos_arg if len(getattr(pos_arg, "shape", ())) == 0 else pos_arg[0]
-
-    def kv_index(bi, hi, si, pos_arg):
-        # the head's (bs, hd) tile is the lane-axis block ``hi`` of the
-        # flat (B, S, KVH·hd) cache — Mosaic-legal and copy-free.
-        p = _pos_of(pos_arg)
-        top = p // bs  # the tile holding pos
-        if window is None:
-            return (bi, jnp.minimum(si, top), hi)
-        lo = jnp.maximum(0, (p - window + 1) // bs)
-        return (bi, jnp.clip(si, lo, top), hi)
-
-    kv_spec = pl.BlockSpec((1, bs, hd), kv_index, memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec(
-            (1, 1, g, hd),
-            lambda bi, hi, si, pos_arg: (bi, hi, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        kv_spec,
-        kv_spec,
-    ]
-    inputs = [qg, kc, vc]  # flat caches pass through untouched
-    if quant:
-        # (B, S, KVH) -> (B, KVH, S): a few hundred KB, NOT cache-sized
-        ks_t = jnp.transpose(k_scale, (0, 2, 1))
-        vs_t = jnp.transpose(v_scale, (0, 2, 1))
-
-        # index map mirrors the kv clamp: (b·kvh flat, 0, clamped si);
-        # the singleton middle axis satisfies Mosaic's block-dim rule
-        def sc_index(bi, hi, si, pos_arg):
-            idx = kv_index(bi, hi, si, pos_arg)
-            return (bi * kvh + hi, 0, idx[1])
-
-        sc_spec = pl.BlockSpec((1, 1, bs), sc_index, memory_space=pltpu.VMEM)
-        in_specs += [sc_spec, sc_spec]
-        inputs += [
-            ks_t.reshape(b * kvh, 1, s_len),
-            vs_t.reshape(b * kvh, 1, s_len),
-        ]
-    out = pl.pallas_call(
-        functools.partial(
-            _decode_kernel,
-            ns=ns,
-            window=window,
-            block_kv=bs,
-            quant=quant,
-            precision=precision,
-            compute_dtype=compute_dtype,
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b, kvh, ns),
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (1, 1, g, hd),
-                lambda bi, hi, si, pos_arg: (bi, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((g, 128), jnp.float32),
-                pltpu.VMEM((g, 128), jnp.float32),
-                pltpu.VMEM((g, hd), jnp.float32),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, kvh, g, hd), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=use_interpret(interpret),
-    )(pos_arr, *inputs)
-    return out.reshape(b, h, hd)
+    q: (B, C, H, hd) — C chunk tokens already written to the cache at
+    positions pos..pos+C-1; row c attends cache columns ≤ pos + c
+    (window-clipped). Same kernel and accumulation order as
+    ``flash_attention_decode`` (its C=1 case), so a token's row is
+    bitwise identical whether it is decoded alone or inside a verify
+    chunk — the property greedy speculative decoding's exactness rests
+    on (models/spec_decode.py). Scales/caches as in
+    ``flash_attention_decode``. Returns (B, C, H, hd) in the compute
+    dtype.
+    """
+    return _flash_cache_attention(
+        q, kc, vc, pos, k_scale, v_scale, window, sm_scale,
+        block_kv, interpret, precision, compute_dtype,
+    )

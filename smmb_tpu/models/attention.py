@@ -313,7 +313,14 @@ def init_kv_cache(
         "pos": jnp.int32(0),
     }
     if quantized:
-        sshape = (batch, max_len, cfg.kv_heads)
+        # scales live PRE-TRANSPOSED as (B, KVH, S): the flash-decode
+        # kernel wants its per-token scale rows lane-aligned per head, and
+        # a per-call (B, S, KVH)→(B, KVH, S) transpose is a sublane-strided
+        # materialized copy paid every layer every step (round-3 VERDICT
+        # #2's in-LM int8 overhead). Writes here are (B, KVH, 1)-shaped
+        # dynamic_update_slices; the jnp fallback view transposes back in
+        # _cache_kv (that path materializes a dequantized cache anyway).
+        sshape = (batch, cfg.kv_heads, max_len)
         cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
         cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
     if ragged:
@@ -346,15 +353,15 @@ def _cache_write(cache: dict, k, v, pos, valid=None) -> dict:
     if "k_scale" in cache:
         kq, ks = _quantize_kv(k)
         vq, vs = _quantize_kv(v)
-        for name, val in (
-            ("k", kq.reshape(b, c, -1)),
-            ("v", vq.reshape(b, c, -1)),
-            ("k_scale", ks[..., 0]),
-            ("v_scale", vs[..., 0]),
+        for name, val, at in (
+            ("k", kq.reshape(b, c, -1), (0, pos, 0)),
+            ("v", vq.reshape(b, c, -1), (0, pos, 0)),
+            # scales store (B, KVH, S) — see init_kv_cache
+            ("k_scale", ks[..., 0].transpose(0, 2, 1), (0, 0, pos)),
+            ("v_scale", vs[..., 0].transpose(0, 2, 1), (0, 0, pos)),
         ):
             out[name] = jax.lax.dynamic_update_slice(
-                cache[name], val.astype(cache[name].dtype),
-                (0, pos, 0),
+                cache[name], val.astype(cache[name].dtype), at
             )
     else:
         for name, val in (("k", k.reshape(b, c, -1)), ("v", v.reshape(b, c, -1))):
@@ -376,9 +383,12 @@ def _cache_kv(cache: dict, kv_heads: int):
     kc = cache["k"].reshape(b, s, kv_heads, hd)
     vc = cache["v"].reshape(b, s, kv_heads, hd)
     if "k_scale" in cache:
+        # (B, KVH, S) stored → (B, S, KVH, 1) broadcast view
         return (
-            kc.astype(jnp.float32) * cache["k_scale"][..., None],
-            vc.astype(jnp.float32) * cache["v_scale"][..., None],
+            kc.astype(jnp.float32)
+            * cache["k_scale"].transpose(0, 2, 1)[..., None],
+            vc.astype(jnp.float32)
+            * cache["v_scale"].transpose(0, 2, 1)[..., None],
         )
     return kc, vc
 
@@ -606,6 +616,7 @@ def attention_extend(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Chunked prefill: append a (B, C, D) chunk at the cache position and
     attend each chunk token causally over everything cached so far.
@@ -614,7 +625,15 @@ def attention_extend(
     starting from an empty cache, computes exactly ``attention_prefill``'s
     output with O(B·C·D + B·C·max_len) peak attention memory instead of
     O(B·T²) — the serving answer for prompts too long to prefill in one
-    shot. Returns (y (B, C, D), new_cache)."""
+    shot. Returns (y (B, C, D), new_cache).
+
+    ``use_flash=True`` reads the cache through the flash-chunk kernel
+    (kernels/flash_decode.flash_attention_chunk): O(pos+C) HBM traffic
+    per call, in-kernel int8 dequant, and — because it is the SAME kernel
+    and accumulation order as the decode step's flash path — a token's
+    attention output is bitwise identical whether decoded alone or inside
+    this chunk, the property speculative-decode verification needs. Falls
+    back to the jnp path for ragged ``valid`` caches or head_dim % 128."""
     b, c, d = x.shape
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
     qf, kf, vf = _proj_qkv(packed, x, cfg, **kw)  # one fused weight pass
@@ -627,11 +646,31 @@ def attention_extend(
         q = apply_rope(q, chunk_pos, cfg.rope_theta)
         k = apply_rope(k, chunk_pos, cfg.rope_theta)
     cache = _cache_write(cache, k, v, pos)
-    kc, vc = _cache_kv(cache, cfg.kv_heads)
-    out = _chunk_attention_math(
-        q, kc, vc, pos, cfg.head_dim, precision=precision,
-        window=cfg.window, valid=cache.get("valid"),
-    )
+    if (
+        use_flash
+        and cache.get("valid") is None
+        and cfg.head_dim % 128 == 0
+    ):
+        from smmb_tpu.kernels.flash_decode import flash_attention_chunk
+
+        quant = "k_scale" in cache
+        out = flash_attention_chunk(
+            q,
+            cache["k"],
+            cache["v"],
+            pos,
+            k_scale=cache["k_scale"] if quant else None,
+            v_scale=cache["v_scale"] if quant else None,
+            window=cfg.window,
+            precision=precision,
+            compute_dtype=compute_dtype,
+        ).reshape(b, c, -1)
+    else:
+        kc, vc = _cache_kv(cache, cfg.kv_heads)
+        out = _chunk_attention_math(
+            q, kc, vc, pos, cfg.head_dim, precision=precision,
+            window=cfg.window, valid=cache.get("valid"),
+        )
     y = _proj(packed, "wo", out, cfg, **kw)
     return y, cache
 

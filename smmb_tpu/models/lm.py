@@ -273,13 +273,17 @@ def lm_extend(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ):
     """Append a (B, C) token chunk at the cache position and return the
     logits at EVERY chunk position: ((B, C, vocab), new cache).
 
     The multi-token generalization of ``lm_decode_step`` (and the building
     block of chunked prefill and speculative-decode verification): each
-    chunk token attends the cache plus its chunk prefix.
+    chunk token attends the cache plus its chunk prefix. ``use_flash``
+    reads the caches through the flash-chunk kernel — the same kernel as
+    the flash decode step, making a token's logits bitwise identical
+    between the two paths (speculative-decode exactness).
 
     The caller owns the capacity budget (the cache position is dynamic, so
     it cannot be checked at trace time): appending past ``cfg.max_len``
@@ -299,7 +303,7 @@ def lm_extend(
         x, ch = cfg._blk["extend"](
             blk, x, ch, cfg.block,
             compute_dtype=compute_dtype, use_kernel=use_kernel,
-            precision=precision,
+            precision=precision, use_flash=use_flash,
         )
         new_cache.append(ch)
     h = rmsnorm(x, packed["norm_f"], cfg.eps)
@@ -322,6 +326,7 @@ def lm_prefill_chunked(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ):
     """Prompt pass in fixed-size chunks: ``lax.scan`` over T/chunk segments,
     each attending over the cache filled so far (models/attention.
@@ -353,7 +358,7 @@ def lm_prefill_chunked(
             x, c = cfg._blk["extend"](
                 blk, x, c, cfg.block,
                 compute_dtype=compute_dtype, use_kernel=use_kernel,
-                precision=precision,
+                precision=precision, use_flash=use_flash,
             )
             new_cache.append(c)
         # emit only the chunk's last hidden state — the head matmul runs

@@ -182,9 +182,11 @@ def moe_block_extend(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> tuple[jax.Array, dict]:
     kw = dict(
-        compute_dtype=compute_dtype, use_kernel=use_kernel, precision=precision
+        compute_dtype=compute_dtype, use_kernel=use_kernel,
+        precision=precision, use_flash=use_flash,
     )
     h = rmsnorm(x, packed["norm1"], cfg.eps)
     att, cache = attention_extend(packed["attn"], h, cache, cfg.attn, **kw)

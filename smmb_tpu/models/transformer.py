@@ -262,12 +262,16 @@ def block_extend(
     compute_dtype=jnp.float32,
     use_kernel: bool = True,
     precision=None,
+    use_flash: bool = False,
 ) -> tuple[jax.Array, dict]:
     """Chunked-prefill step through the block: x is a (B, C, d_model) chunk
     appended at the cache position; attention covers the cache plus the
-    chunk (attention_extend). MLP/norms are per-token. Returns (y, cache)."""
+    chunk (attention_extend). MLP/norms are per-token. ``use_flash``
+    routes the cache read through the flash-chunk kernel. Returns
+    (y, cache)."""
     kw = dict(
-        compute_dtype=compute_dtype, use_kernel=use_kernel, precision=precision
+        compute_dtype=compute_dtype, use_kernel=use_kernel,
+        precision=precision, use_flash=use_flash,
     )
     h = rmsnorm(x, packed["norm1"], cfg.eps)
     att, cache = attention_extend(packed["attn"], h, cache, cfg.attn, **kw)

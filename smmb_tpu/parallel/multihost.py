@@ -35,8 +35,12 @@ def initialize_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # tolerate ONLY re-initialization; anything else (bad coordinator,
+        # connection failure) must surface — a swallowed error here would
+        # silently fall back to single-process and report process_count=1
+        if "already initialized" not in str(e).lower():
+            raise
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

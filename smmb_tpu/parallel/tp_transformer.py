@@ -383,20 +383,29 @@ def init_block_cache_tp(
         "pos": jax.device_put(jnp.int32(0), NamedSharding(mesh, P())),
     }
     if quantized:
-        sshape = (batch, max_len, cfg.attn.kv_heads)
+        # (B, KVH, S) pre-transposed layout (models/attention.init_kv_cache)
+        sshape = (batch, cfg.attn.kv_heads, max_len)
+        ssh = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS, None))
         for n in ("k_scale", "v_scale"):
-            cache[n] = jax.device_put(jnp.zeros(sshape, jnp.float32), sh)
+            cache[n] = jax.device_put(jnp.zeros(sshape, jnp.float32), ssh)
     return cache
 
 
 _KV_SPEC = P(DATA_AXIS, None, MODEL_AXIS)
+_SCALE_SPEC = P(DATA_AXIS, MODEL_AXIS, None)
 
 
 def _cache_specs(cache: dict) -> dict:
     """Per-leaf shard_map specs for a TP cache dict (scales follow the
-    codes' head sharding; ``pos`` replicates)."""
+    codes' head sharding on their own (B, KVH, S) layout; ``pos``
+    replicates)."""
     return {
-        k: (P() if k == "pos" else _KV_SPEC) for k in cache
+        k: (
+            P()
+            if k == "pos"
+            else _SCALE_SPEC if k.endswith("_scale") else _KV_SPEC
+        )
+        for k in cache
     }
 
 

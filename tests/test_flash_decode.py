@@ -119,7 +119,9 @@ def test_decode_step_use_flash_matches_jnp(key):
         )
         # flash pre-folds sm_scale*log2e into q (one extra f32 rounding of
         # q vs the jnp path's score-side scaling) — tolerance sits between
-        # that ~1 ulp path difference and the reference's 1e-4 contract
+        # that ~1 ulp path difference and the reference's dense-baseline
+        # tolerance (1e-4, /root/reference/dense/dense.c:42-59; its
+        # primary EPS is 1e-6, /root/reference/main.cpp:17)
         np.testing.assert_allclose(
             np.asarray(y2), np.asarray(y1), atol=1e-4, rtol=1e-5,
             err_msg=f"step {t}",
@@ -157,3 +159,138 @@ def test_flash_decode_rejects_bad_head_dim():
     kc = jnp.zeros((1, 16, 256))  # flat cache, head_dim 64 not 128-aligned
     with pytest.raises(ValueError, match="head_dim"):
         flash_attention_decode(q, kc, kc, jnp.int32(0))
+
+
+def test_flash_decode_rejects_integer_compute_dtype():
+    # the sm_scale*log2e fold would round q to ~0 under an int dtype
+    q = jnp.zeros((1, 4, 128))
+    kc = jnp.zeros((1, 16, 512))
+    with pytest.raises(ValueError, match="floating"):
+        flash_attention_decode(
+            q, kc, kc, jnp.int32(0), compute_dtype=jnp.int8
+        )
+
+
+# ---- C>1 chunk kernel (verify/extend path) ----
+
+
+@pytest.mark.parametrize("h,kvh,window", [(4, 4, None), (8, 2, None), (4, 2, 16)])
+def test_flash_chunk_matches_oracle(h, kvh, window):
+    from smmb_tpu.kernels.flash_decode import flash_attention_chunk
+    from smmb_tpu.models.attention import _chunk_attention_math
+
+    B, S, hd, pos, C = 2, 96, 128, 37, 5
+    key = jax.random.PRNGKey(h * 10 + (window or 0))
+    cache = _filled_cache(key, B, S, kvh, hd, pos + C)  # rows pos..pos+C-1
+    q = jax.random.normal(jax.random.fold_in(key, 1), (B, C, h, hd))
+    kc, vc = _cache_kv(cache, kvh)
+    want = np.asarray(
+        _chunk_attention_math(q, kc, vc, jnp.int32(pos), hd, window=window)
+    )
+    got = np.asarray(
+        flash_attention_chunk(
+            q, cache["k"], cache["v"], jnp.int32(pos), window=window,
+            block_kv=32,
+        )
+    ).reshape(B, C, -1)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=0)
+
+
+def test_flash_chunk_int8_matches_oracle():
+    from smmb_tpu.kernels.flash_decode import flash_attention_chunk
+    from smmb_tpu.models.attention import _chunk_attention_math
+
+    B, S, h, kvh, hd, pos, C = 1, 96, 4, 4, 128, 20, 4
+    key = jax.random.PRNGKey(3)
+    cache = _filled_cache(key, B, S, kvh, hd, pos + C, quantized=True)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (B, C, h, hd))
+    kc, vc = _cache_kv(cache, kvh)
+    want = np.asarray(
+        _chunk_attention_math(q, kc, vc, jnp.int32(pos), hd)
+    )
+    got = np.asarray(
+        flash_attention_chunk(
+            q, cache["k"], cache["v"], jnp.int32(pos),
+            k_scale=cache["k_scale"], v_scale=cache["v_scale"], block_kv=32,
+        )
+    ).reshape(B, C, -1)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=0)
+
+
+def test_flash_chunk_rows_bitwise_match_decode():
+    """The losslessness contract of speculative decoding: token c's row in
+    a C-token chunk equals decoding it alone (same kernel, same tile
+    order; rows are M-independent). Exact equality, no tolerance."""
+    from smmb_tpu.kernels.flash_decode import flash_attention_chunk
+
+    B, S, h, kvh, hd, C = 1, 96, 4, 2, 128, 5
+    pos = 17
+    key = jax.random.PRNGKey(9)
+    cache = _filled_cache(key, B, S, kvh, hd, pos + C)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (B, C, h, hd))
+    chunk_out = np.asarray(
+        flash_attention_chunk(
+            q, cache["k"], cache["v"], jnp.int32(pos), block_kv=32
+        )
+    )
+    for c in range(C):
+        solo = np.asarray(
+            flash_attention_decode(
+                q[:, c], cache["k"], cache["v"], jnp.int32(pos + c),
+                block_kv=32,
+            )
+        )
+        np.testing.assert_array_equal(chunk_out[:, c], solo, err_msg=f"row {c}")
+
+
+def test_attention_extend_use_flash_matches_jnp(key):
+    from smmb_tpu.models.attention import attention_extend
+
+    cfg = TernaryAttentionConfig(d_model=256, n_heads=2)
+    params = init_attention(key, cfg)
+    packed = pack_attention(params)
+    B, T, C = 1, 6, 3
+    x = rng.rand_dense(jax.random.PRNGKey(3), (B, T + C, 256))
+    c1 = init_kv_cache(cfg, B, max_len=16)
+    c2 = init_kv_cache(cfg, B, max_len=16)
+    for t in range(T):
+        _, c1 = attention_decode_step(
+            packed, x[:, t : t + 1], c1, cfg, use_kernel=False
+        )
+        _, c2 = attention_decode_step(
+            packed, x[:, t : t + 1], c2, cfg, use_kernel=False
+        )
+    y1, _ = attention_extend(
+        packed, x[:, T:], c1, cfg, use_kernel=False
+    )
+    y2, _ = attention_extend(
+        packed, x[:, T:], c2, cfg, use_kernel=False, use_flash=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(y2), np.asarray(y1), atol=1e-4, rtol=1e-5
+    )
+
+
+def test_generate_speculative_flash_equals_generate():
+    """Greedy spec decode under use_flash reproduces plain greedy
+    generate(use_flash=True) token-for-token (interpret-mode CPU here;
+    the on-chip assertion lives in scripts/bench_spec_win.py)."""
+    from smmb_tpu.models.lm import TernaryLMConfig, generate, init_lm, pack_lm
+    from smmb_tpu.models.spec_decode import generate_speculative
+
+    cfg = TernaryLMConfig(
+        vocab=64, d_model=128, n_heads=1, d_ff=128, n_layers=1, max_len=48,
+    )
+    target = pack_lm(init_lm(jax.random.PRNGKey(0), cfg))
+    draft = pack_lm(init_lm(jax.random.PRNGKey(1), cfg))
+    toks = jax.random.randint(jax.random.PRNGKey(2), (1, 8), 0, cfg.vocab)
+    ref = np.asarray(
+        generate(target, toks, cfg, 10, use_kernel=False, use_flash=True)
+    )
+    got = np.asarray(
+        generate_speculative(
+            target, draft, toks, cfg, cfg, 10, k=4, use_kernel=False,
+            use_flash=True,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
