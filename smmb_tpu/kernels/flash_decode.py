@@ -72,23 +72,39 @@ def _decode_kernel(
     compute_dtype,
     nq: int = 1,
     g: int = 1,
+    kvh: int = 1,
+    hd: int = 128,
 ):
-    """Online-softmax decode/verify over the cache's s-tiles.
+    """Online-softmax decode/verify over the cache's s-tiles, ALL KV heads
+    per grid step.
 
-    ``nq`` query TOKENS per row-block (C of a verify/extend chunk; 1 for
-    plain decode): the q block holds nq·g rows ordered (token, group) and
-    row r's own position is ``pos + r // g`` — the per-row causal mask on
-    boundary tiles. nq == 1 generates EXACTLY the round-3 decode kernel
-    (the per-row mask reduces to ``col <= pos``), which is what makes the
-    C=1 step and the C=k+1 verify bitwise row-identical — the property
-    speculative decoding's losslessness rests on (models/spec_decode.py).
+    Grid is (B, s_tiles): each step DMAs one fully-contiguous
+    (bs, KVH·hd) row-range of the flat cache and loops the KV heads
+    in-kernel over static lane slices. Rationale (traced, round 4,
+    scripts/probe_int8_step.py): the round-3 (B, KVH, s_tiles) grid was
+    GRID-OVERHEAD-BOUND at decode — 72 steps × ~0.6 µs ≈ 43 µs/layer at
+    ctx 8k MHA, swamping the 10-20 µs of cache DMA and erasing the int8
+    kernel's 2× read saving inside the LM (53.8 int8 vs 52.6 bf16 µs
+    in-scan). Folding the head loop into the kernel cuts grid steps by
+    KVH× and makes every DMA contiguous.
+
+    ``nq`` query TOKENS per head-block (C of a verify/extend chunk; 1 for
+    plain decode): rows are ordered (kv_head, token, group) and row r of a
+    head's block is token r // g at position ``pos + r // g`` — the
+    per-row causal mask on boundary tiles. Each head's dot has the same
+    (nq·g, bs) shape whether nq is 1 or C, and MXU rows are independent,
+    so the C=1 step and the C=k+1 verify stay bitwise row-identical — the
+    property speculative decoding's losslessness rests on
+    (models/spec_decode.py; asserted on hardware in tests and
+    scripts/bench_spec_win.py).
     """
     if quant:
         ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
-    s = pl.program_id(2)
+    s = pl.program_id(1)
     pos = pos_ref[0]
+    rows = nq * g  # per-head row block
 
     @pl.when(s == 0)
     def _():
@@ -96,9 +112,11 @@ def _decode_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def body(masked):
-        q = q_ref[0, 0]  # (nq·G, hd)
-        k = k_ref[0]  # (bs, hd) — one head's slice of the (B,S,KVH·hd) view
+    def head_body(hi, masked):
+        lo, hi_end = hi * rows, (hi + 1) * rows
+        q = q_ref[0, lo:hi_end]  # (nq·G, hd) — static sublane slice
+        # static lane slice of the contiguous (bs, KVH·hd) tile
+        k = k_ref[0][:, hi * hd : (hi + 1) * hd]  # (bs, hd)
         if k.dtype != compute_dtype:  # int8 codes or mixed-precision cache
             k = k.astype(compute_dtype)
         # (nq·G, bs); the wrapper pre-folds sm_scale*log2(e) into q and the
@@ -114,7 +132,7 @@ def _decode_kernel(
             # per-token absmax scale, lane-aligned: (1, bs) broadcast.
             # Linear in the score, so it commutes with the log2e factor
             # already folded into q.
-            scores = scores * ks_ref[0, 0][None, :]
+            scores = scores * ks_ref[0, hi][None, :]
         if masked:
             col = s * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1
@@ -131,26 +149,31 @@ def _decode_kernel(
                 live = jnp.logical_and(live, col > row_pos - window)
             scores = jnp.where(live, scores, _NEG)
 
-        m_prev = m_ref[:, :1]
+        m_prev = m_ref[lo:hi_end, :1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
         rescale = jnp.exp2(m_prev - m_new)
         p = jnp.exp2(scores - m_new)
-        l_ref[:] = jnp.broadcast_to(
-            l_ref[:, :1] * rescale + jnp.sum(p, axis=-1, keepdims=True),
-            l_ref.shape,
+        l_ref[lo:hi_end] = jnp.broadcast_to(
+            l_ref[lo:hi_end, :1] * rescale
+            + jnp.sum(p, axis=-1, keepdims=True),
+            (rows, l_ref.shape[1]),
         )
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        v = v_ref[0]  # (bs, hd)
+        m_ref[lo:hi_end] = jnp.broadcast_to(m_new, (rows, m_ref.shape[1]))
+        v = v_ref[0][:, hi * hd : (hi + 1) * hd]  # (bs, hd)
         if quant:
-            p = p * vs_ref[0, 0][None, :]
+            p = p * vs_ref[0, hi][None, :]
         if v.dtype != compute_dtype:
             v = v.astype(compute_dtype)
-        acc_ref[:] = acc_ref[:] * rescale + jnp.dot(
+        acc_ref[lo:hi_end] = acc_ref[lo:hi_end] * rescale + jnp.dot(
             p.astype(v.dtype),
             v,
             preferred_element_type=jnp.float32,
             precision=precision,
         )
+
+    def body(masked):
+        for hi in range(kvh):  # unrolled: static slices, no dynamic strides
+            head_body(hi, masked)
 
     # chunk rows span positions [pos, pos + nq); a tile is live if any
     # row attends into it, and mask-free ("full") only if EVERY (row, col)
@@ -177,7 +200,7 @@ def _decode_kernel(
     @pl.when(s == ns - 1)
     def _():
         l = l_ref[:, :1]
-        o_ref[0, 0] = (
+        o_ref[0] = (
             jnp.where(l > 0, acc_ref[:] / jnp.where(l > 0, l, 1.0), 0.0)
         ).astype(o_ref.dtype)
 
@@ -238,13 +261,17 @@ def _flash_cache_attention(
     )
 
     bs = min(block_kv, s_len)
+    # all-heads tiles are (bs, KVH·hd): shrink bs so the double-buffered
+    # k+v pair (4 tiles) + q/out/scratch stay inside the ~16 MB scoped
+    # VMEM limit (f32 kvd=1024 at bs=1024 OOMed at exactly 16.06 MB)
+    while bs > 256 and bs * kvd * jnp.dtype(kc.dtype).itemsize > 2 << 20:
+        bs //= 2
     ns = pl.cdiv(s_len, bs)
-    rows = nq * g
-    # (B, nq, KVH, G, hd) → (B, KVH, nq·G, hd): rows ordered (token, group)
+    rows_all = kvh * nq * g  # rows ordered (kv_head, token, group)
     qg = (
         q4.reshape(b, nq, kvh, g, hd)
         .transpose(0, 2, 1, 3, 4)
-        .reshape(b, kvh, rows, hd)
+        .reshape(b, rows_all, hd)
     )
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
 
@@ -260,22 +287,27 @@ def _flash_cache_attention(
         # paths and as the (1,)-shaped SMEM ref on others — unpack by shape
         return pos_arg if len(getattr(pos_arg, "shape", ())) == 0 else pos_arg[0]
 
-    def kv_index(bi, hi, si, pos_arg):
-        # the head's (bs, hd) tile is the lane-axis block ``hi`` of the
-        # flat (B, S, KVH·hd) cache — Mosaic-legal and copy-free.
+    def s_clamp(si, pos_arg):
+        # tiles beyond the live prefix (or below the window) re-use the
+        # boundary tile's index: no DMA, and the kernel skips compute
         p = _pos_of(pos_arg)
         top = (p + nq - 1) // bs  # the tile holding the chunk's last row
         if window is None:
-            return (bi, jnp.minimum(si, top), hi)
+            return jnp.minimum(si, top)
         # token 0's lower window edge is the lowest column any row reads
         lo = jnp.maximum(0, (p - window + 1) // bs)
-        return (bi, jnp.clip(si, lo, top), hi)
+        return jnp.clip(si, lo, top)
 
-    kv_spec = pl.BlockSpec((1, bs, hd), kv_index, memory_space=pltpu.VMEM)
+    def kv_index(bi, si, pos_arg):
+        # one contiguous (bs, KVH·hd) row-range of the flat cache — all
+        # heads arrive in one DMA; the kernel lane-slices per head
+        return (bi, s_clamp(si, pos_arg), 0)
+
+    kv_spec = pl.BlockSpec((1, bs, kvd), kv_index, memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(
-            (1, 1, rows, hd),
-            lambda bi, hi, si, pos_arg: (bi, hi, 0, 0),
+            (1, rows_all, hd),
+            lambda bi, si, pos_arg: (bi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         kv_spec,
@@ -289,19 +321,15 @@ def _flash_cache_attention(
                 f"by init_kv_cache, got {k_scale.shape}/{v_scale.shape}"
             )
 
-        # index map mirrors the kv clamp: (b·kvh flat, 0, clamped si);
-        # the singleton middle axis satisfies Mosaic's block-dim rule
-        def sc_index(bi, hi, si, pos_arg):
-            idx = kv_index(bi, hi, si, pos_arg)
-            return (bi * kvh + hi, 0, idx[1])
+        # all heads' scale rows for the tile: (1, KVH, bs), free view
+        def sc_index(bi, si, pos_arg):
+            return (bi, 0, s_clamp(si, pos_arg))
 
-        sc_spec = pl.BlockSpec((1, 1, bs), sc_index, memory_space=pltpu.VMEM)
+        sc_spec = pl.BlockSpec(
+            (1, kvh, bs), sc_index, memory_space=pltpu.VMEM
+        )
         in_specs += [sc_spec, sc_spec]
-        # (B, KVH, S) → (B·KVH, 1, S): contiguous, a free view
-        inputs += [
-            k_scale.reshape(b * kvh, 1, s_len),
-            v_scale.reshape(b * kvh, 1, s_len),
-        ]
+        inputs += [k_scale, v_scale]
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel,
@@ -313,29 +341,31 @@ def _flash_cache_attention(
             compute_dtype=compute_dtype,
             nq=nq,
             g=g,
+            kvh=kvh,
+            hd=hd,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, kvh, ns),
+            grid=(b, ns),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, 1, rows, hd),
-                lambda bi, hi, si, pos_arg: (bi, hi, 0, 0),
+                (1, rows_all, hd),
+                lambda bi, si, pos_arg: (bi, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.VMEM((rows, 128), jnp.float32),
-                pltpu.VMEM((rows, 128), jnp.float32),
-                pltpu.VMEM((rows, hd), jnp.float32),
+                pltpu.VMEM((rows_all, 128), jnp.float32),
+                pltpu.VMEM((rows_all, 128), jnp.float32),
+                pltpu.VMEM((rows_all, hd), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, kvh, rows, hd), q4.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, rows_all, hd), q4.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=use_interpret(interpret),
     )(pos_arr, *inputs)
-    # (B, KVH, nq·G, hd) → (B, nq, H, hd)
+    # (B, KVH·nq·G, hd) → (B, nq, H, hd)
     return (
         out.reshape(b, kvh, nq, g, hd)
         .transpose(0, 2, 1, 3, 4)
