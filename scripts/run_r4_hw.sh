@@ -36,7 +36,7 @@ run() { # name timeout cmd...
   return $rc
 }
 
-if [ -n "$(git status --porcelain --untracked-files=no)" ]; then
+if [ -n "$(git status --porcelain --untracked-files=no -- smmb_tpu scripts bench.py __graft_entry__.py tests)" ]; then
   echo "REFUSING to run: working tree is dirty — commit first so artifacts"
   echo "describe a commit (round-3 lesson: evidence must match HEAD)."
   exit 1

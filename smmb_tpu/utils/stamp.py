@@ -28,8 +28,15 @@ def git_head(repo: str | None = None) -> str:
             ["git", "rev-parse", "--short=12", "HEAD"],
             cwd=repo, capture_output=True, text=True, timeout=10,
         ).stdout.strip()
+        # dirty = CODE dirty: only paths that affect what a bench measures.
+        # (docs/ and bench_out/ churn during a hardware batch must not
+        # poison the stamps of later steps in the same run.)
         dirty = subprocess.run(
-            ["git", "status", "--porcelain", "--untracked-files=no"],
+            [
+                "git", "status", "--porcelain", "--untracked-files=no",
+                "--", "smmb_tpu", "scripts", "bench.py",
+                "__graft_entry__.py", "tests",
+            ],
             cwd=repo, capture_output=True, text=True, timeout=10,
         ).stdout.strip()
     except Exception:
