@@ -23,6 +23,13 @@ from smmb_tpu.models.train import absmean_scale, ternarize_ste
 from smmb_tpu.ops.spmm import packed_spmm_jnp
 from smmb_tpu.utils import rng
 
+# Largest batch the flash-decode kernel serves; larger batches fall back to
+# the jnp einsum cache read. Round 3 measured the (B, KVH, s) grid losing at
+# batch 8 (bench_out/lm_batch8.txt: 511.3 vs 385.8 us/step MHA); the round-4
+# all-KV-heads grid is re-measured by scripts/probe_batch_decode.py, which
+# overrides this knob to compare both paths at the same batch.
+FLASH_DECODE_MAX_BATCH = 1
+
 
 @dataclasses.dataclass(frozen=True)
 class TernaryAttentionConfig:
@@ -559,6 +566,32 @@ def attention_decode_step(
     XLA to materialize a full-size dequantized cache every step (measured
     2-3× slower at long context, bench_out/kvq_crossover.txt). Falls back
     to the jnp path for ragged ``valid`` masks or head_dim % 128 != 0."""
+    out, cache = attention_decode_core(
+        packed, x_t, cache, cfg,
+        compute_dtype=compute_dtype, use_kernel=use_kernel,
+        precision=precision, use_flash=use_flash,
+    )
+    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    y = _proj(packed, "wo", out, cfg, **kw)
+    return y, cache
+
+
+def attention_decode_core(
+    packed: dict,
+    x_t: jax.Array,
+    cache: dict,
+    cfg: TernaryAttentionConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+    use_flash: bool = False,
+) -> tuple[jax.Array, dict]:
+    """``attention_decode_step`` minus the output projection: returns the
+    PRE-``wo`` attention mix (B, 1, H·hd) and the updated cache. Exists so
+    the block layer can fuse ``wo`` + residual + norm + MLP into one pallas
+    launch (kernels/fused_mlp.fused_block_tail) on the dispatch-bound
+    decode path."""
     b, one, d = x_t.shape
     if one != 1:
         raise ValueError(f"decode step takes one token, got T={one}")
@@ -574,15 +607,10 @@ def attention_decode_step(
     cache = _cache_write(cache, k, v, pos)
     if (
         use_flash
-        and b == 1
+        and b <= FLASH_DECODE_MAX_BATCH
         and cache.get("valid") is None
         and cfg.head_dim % 128 == 0
     ):
-        # batch-1 only (measured, bench_out/lm_batch8.txt): at batch>1 the
-        # jnp einsum batches all rows into one M=B·g dot per head while
-        # the kernel issues M=g dots per (batch, head) grid step — batch-8
-        # MHA ctx1000 measured 385.8 us/step jnp vs 511.3 kernel. Flash
-        # decode is the batch-1 long-context latency path.
         from smmb_tpu.kernels.flash_decode import flash_attention_decode
 
         quant = "k_scale" in cache
@@ -603,8 +631,7 @@ def attention_decode_step(
             q, kc, vc, pos, cfg.head_dim, precision=precision,
             window=cfg.window, valid=cache.get("valid"),
         )
-    y = _proj(packed, "wo", out, cfg, **kw)
-    return y, cache
+    return out, cache
 
 
 def attention_extend(
@@ -634,6 +661,30 @@ def attention_extend(
     attention output is bitwise identical whether decoded alone or inside
     this chunk, the property speculative-decode verification needs. Falls
     back to the jnp path for ragged ``valid`` caches or head_dim % 128."""
+    out, cache = attention_extend_core(
+        packed, x, cache, cfg,
+        compute_dtype=compute_dtype, use_kernel=use_kernel,
+        precision=precision, use_flash=use_flash,
+    )
+    kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
+    y = _proj(packed, "wo", out, cfg, **kw)
+    return y, cache
+
+
+def attention_extend_core(
+    packed: dict,
+    x: jax.Array,
+    cache: dict,
+    cfg: TernaryAttentionConfig,
+    *,
+    compute_dtype=jnp.float32,
+    use_kernel: bool = True,
+    precision=None,
+    use_flash: bool = False,
+) -> tuple[jax.Array, dict]:
+    """``attention_extend`` minus the output projection (see
+    ``attention_decode_core`` — same split, chunk case). Returns the
+    pre-``wo`` mix (B, C, H·hd) and the updated cache."""
     b, c, d = x.shape
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
     qf, kf, vf = _proj_qkv(packed, x, cfg, **kw)  # one fused weight pass
@@ -671,8 +722,7 @@ def attention_extend(
             q, kc, vc, pos, cfg.head_dim, precision=precision,
             window=cfg.window, valid=cache.get("valid"),
         )
-    y = _proj(packed, "wo", out, cfg, **kw)
-    return y, cache
+    return out, cache
 
 
 def attention_math_chunked(

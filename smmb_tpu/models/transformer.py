@@ -130,7 +130,7 @@ def block_forward(
         compute_dtype=compute_dtype, use_kernel=use_kernel,
         precision=precision, use_flash=use_flash,
     )
-    return _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel))
+    return _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel), compute_dtype, use_kernel)
 
 
 def init_block_cache(
@@ -145,10 +145,119 @@ def init_block_cache(
     return init_kv_cache(cfg.attn, batch, max_len, dtype, quantized, ragged)
 
 
-def _mlp_half(packed, x, cfg, spmm):
+def _mlp_fusable(packed, h2d, compute_dtype, use_kernel):
+    """Route the decode-regime MLP through the one-launch fused kernel?
+
+    The fused kernel exists for the dispatch-bound small-M decode step
+    (docs/PROFILE.md: ctx-512 step at 0.34 of floor across ~20 launches);
+    large-M prefill keeps two packed_spmm calls whose compute-bound tile
+    heuristics (wide-N) win there. Float-only (W2A8 needs a global up
+    absmax the slab schedule can't know), no LoRA (adapter adds
+    pre-activation), group-aligned shapes, and K ≤ 2048 (full-K weight
+    tiles at 4096 hit the known pathological Mosaic compile,
+    docs/ROADMAP.md #4)."""
+    from smmb_tpu.formats.packed import GROUP_ROWS
+
+    k = h2d.shape[-1]
+    hdim = packed["w_up"].shape[1]
+    return (
+        use_kernel
+        and packed.get("w_up_lora") is None
+        and packed.get("w_down_lora") is None
+        and h2d.shape[0] <= 32
+        and jnp.dtype(compute_dtype)
+        in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        and k % GROUP_ROWS == 0
+        and k <= 2048
+        and hdim % GROUP_ROWS == 0
+        and hdim % (1024 if hdim >= 1024 else GROUP_ROWS) == 0
+        and packed["w_down"].shape == (hdim, k)
+    )
+
+
+def _tail_fusable(packed, m, compute_dtype, use_kernel):
+    """Route the whole block tail (wo + residual + norm2 + MLP) through the
+    one-launch fused kernel (kernels/fused_mlp.fused_block_tail)?
+
+    Same regime and reasons as ``_mlp_fusable`` plus the ``wo`` plane: no
+    adapter on any fused weight, group-aligned A/D/H, and D ≤ 2048 so the
+    full-depth weight tiles stay clear of the 4096-row Mosaic pathology
+    (docs/ROADMAP.md #4)."""
+    from smmb_tpu.formats.packed import GROUP_ROWS
+
+    ap = packed["attn"]
+    a, dm = ap["wo"].shape
+    hdim = packed["w_up"].shape[1]
+    return (
+        use_kernel
+        and m <= 32
+        and jnp.dtype(compute_dtype)
+        in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        and ap.get("wo_lora") is None
+        and packed.get("w_up_lora") is None
+        and packed.get("w_down_lora") is None
+        and a % GROUP_ROWS == 0
+        and a <= 2048
+        and dm % GROUP_ROWS == 0
+        and dm <= 2048
+        and hdim % GROUP_ROWS == 0
+        and hdim % (1024 if hdim >= 1024 else GROUP_ROWS) == 0
+        and packed["w_down"].shape == (hdim, dm)
+    )
+
+
+def _fused_tail(packed, out, x, cfg, compute_dtype):
+    """Apply ``fused_block_tail`` to the pre-``wo`` attention mix ``out``
+    (B, T, A) with residual stream ``x`` (B, T, D)."""
+    from smmb_tpu.kernels.fused_mlp import fused_block_tail
+
+    ap = packed["attn"]
+    hdim = packed["w_up"].shape[1]
+    y = fused_block_tail(
+        out.reshape(-1, out.shape[-1]),
+        x.reshape(-1, x.shape[-1]),
+        ap["wo"],
+        ap["wo_scale"],
+        ap["bo"],
+        packed["norm2"],
+        packed["w_up"],
+        packed["s_up"],
+        packed["b_up"],
+        packed["w_down"],
+        packed["s_down"],
+        packed["b_down"],
+        alpha=cfg.alpha,
+        eps=cfg.eps,
+        compute_dtype=compute_dtype,
+        block_h=1024 if hdim >= 1024 else hdim,
+    )
+    return y.reshape(x.shape)
+
+
+def _mlp_half(packed, x, cfg, spmm, compute_dtype=None, use_kernel=False):
     h = rmsnorm(x, packed["norm2"], cfg.eps)
     up_lora = packed.get("w_up_lora")
     if up_lora is None:
+        h2d = h.reshape(-1, h.shape[-1])
+        if compute_dtype is not None and _mlp_fusable(
+            packed, h2d, compute_dtype, use_kernel
+        ):
+            from smmb_tpu.kernels.fused_mlp import fused_mlp
+
+            hdim = packed["w_up"].shape[1]
+            down = fused_mlp(
+                h2d,
+                packed["w_up"],
+                packed["s_up"],
+                packed["b_up"],
+                packed["w_down"],
+                packed["s_down"],
+                packed["b_down"],
+                alpha=cfg.alpha,
+                compute_dtype=compute_dtype,
+                block_h=1024 if hdim >= 1024 else hdim,
+            ).reshape(x.shape)
+            return x + down
         up = spmm(h, packed["w_up"], packed["s_up"], packed["b_up"], cfg.alpha)
     else:
         # adapter adds pre-activation, so the PReLU epilogue can't stay
@@ -224,7 +333,7 @@ def block_prefill(
     h = rmsnorm(x, packed["norm1"], cfg.eps)
     att, cache = attention_prefill(packed["attn"], h, cache, cfg.attn, **kw)
     x = x + att
-    return _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel)), cache
+    return _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel), compute_dtype, use_kernel), cache
 
 
 def block_decode_step(
@@ -245,11 +354,19 @@ def block_decode_step(
         compute_dtype=compute_dtype, use_kernel=use_kernel, precision=precision
     )
     h = rmsnorm(x_t, packed["norm1"], cfg.eps)
+    b, t, _ = x_t.shape
+    if _tail_fusable(packed, b * t, compute_dtype, use_kernel):
+        from smmb_tpu.models.attention import attention_decode_core
+
+        out, cache = attention_decode_core(
+            packed["attn"], h, cache, cfg.attn, use_flash=use_flash, **kw
+        )
+        return _fused_tail(packed, out, x_t, cfg, compute_dtype), cache
     att, cache = attention_decode_step(
         packed["attn"], h, cache, cfg.attn, use_flash=use_flash, **kw
     )
     x_t = x_t + att
-    y = _mlp_half(packed, x_t, cfg, _make_spmm(compute_dtype, use_kernel))
+    y = _mlp_half(packed, x_t, cfg, _make_spmm(compute_dtype, use_kernel), compute_dtype, use_kernel)
     return y, cache
 
 
@@ -274,7 +391,17 @@ def block_extend(
         precision=precision, use_flash=use_flash,
     )
     h = rmsnorm(x, packed["norm1"], cfg.eps)
+    b, c, _ = x.shape
+    if _tail_fusable(packed, b * c, compute_dtype, use_kernel):
+        # same fused tail as the decode step (M=C rows): per-row bitwise
+        # identity between the two is the speculative-decode contract
+        from smmb_tpu.models.attention import attention_extend_core
+
+        out, cache = attention_extend_core(
+            packed["attn"], h, cache, cfg.attn, **kw
+        )
+        return _fused_tail(packed, out, x, cfg, compute_dtype), cache
     att, cache = attention_extend(packed["attn"], h, cache, cfg.attn, **kw)
     x = x + att
-    y = _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel))
+    y = _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel), compute_dtype, use_kernel)
     return y, cache
