@@ -77,16 +77,16 @@ def standalone(B, H, KVH, S, pos_v, dtype):
     return mk, mj
 
 
-def lm_level(batch, kvh, use_flash):
+def lm_level(batch, kvh, use_flash, ctx=1000):
     from smmb_tpu.bench.lm_bench import run_lm_bench
     from smmb_tpu.models.lm import TernaryLMConfig
 
     cfg = TernaryLMConfig(
         vocab=8192, d_model=1024, n_heads=8, d_ff=4096, n_layers=4,
-        max_len=1000 + 3 * 64 + 8, n_kv_heads=kvh,
+        max_len=ctx + 3 * 64 + 8, n_kv_heads=kvh,
     )
     r = run_lm_bench(
-        cfg, batch=batch, prompt_len=1000, steps=64, reps=3,
+        cfg, batch=batch, prompt_len=ctx, steps=64, reps=3,
         use_flash=use_flash,
     )
     return r.per_token_s * 1e6
@@ -99,13 +99,21 @@ for kvh in (8, 2):
     for dt in (jnp.bfloat16,):
         standalone(8, 8, kvh, 1024, 999, dt)
 
-t("--- end-to-end LM decode step, batch 8, ctx 1000 "
-  "(round-3 baseline: jnp 385.8 MHA / 86.8 GQA2; kernel 511.3 / 167.8) ---")
-attention.FLASH_DECODE_MAX_BATCH = 8  # lift the gate for the kernel rows
-for kvh, label in ((None, "MHA"), (2, "GQA2")):
-    us_j = lm_level(8, kvh, use_flash=False)
-    us_k = lm_level(8, kvh, use_flash=True)
+t("--- end-to-end LM decode step, batch 8 "
+  "(round-3 baseline ctx1000: jnp 385.8 MHA / 86.8 GQA2; kernel 511.3 / "
+  "167.8) ---")
+# force the kernel onto every use_flash row, including the small-cache
+# regime the shipped gate routes to jnp — this probe is the evidence the
+# gate's threshold rests on
+attention.FLASH_DECODE_MIN_CACHE_BYTES = 0
+for kvh, label, ctx in (
+    (None, "MHA", 1000),
+    (2, "GQA2", 1000),
+    (2, "GQA2", 8000),
+):
+    us_j = lm_level(8, kvh, use_flash=False, ctx=ctx)
+    us_k = lm_level(8, kvh, use_flash=True, ctx=ctx)
     verdict = "KERNEL WINS" if us_k <= us_j else "jnp wins"
-    t(f"LM batch8 {label}: kernel {us_k:6.1f} us/step | jnp {us_j:6.1f} "
-      f"us/step -> {verdict}")
+    t(f"LM batch8 {label} ctx{ctx}: kernel {us_k:6.1f} us/step | "
+      f"jnp {us_j:6.1f} us/step -> {verdict}")
 t("DONE")

@@ -23,12 +23,23 @@ from smmb_tpu.models.train import absmean_scale, ternarize_ste
 from smmb_tpu.ops.spmm import packed_spmm_jnp
 from smmb_tpu.utils import rng
 
-# Largest batch the flash-decode kernel serves; larger batches fall back to
-# the jnp einsum cache read. Round 3 measured the (B, KVH, s) grid losing at
-# batch 8 (bench_out/lm_batch8.txt: 511.3 vs 385.8 us/step MHA); the round-4
-# all-KV-heads grid is re-measured by scripts/probe_batch_decode.py, which
-# overrides this knob to compare both paths at the same batch.
-FLASH_DECODE_MAX_BATCH = 1
+# Flash-decode batch gate (measured, scripts/probe_batch_decode.py r4):
+# batch 1 always takes the kernel, as does any quantized cache (the jnp
+# int8 path re-materializes a dequantized cache every step). For larger
+# batches the kernel wins when the cache is big — its O(pos) streaming and
+# per-batch grid amortize over real DMA work (b8 MHA ctx1000: kernel 292.2
+# vs jnp 349.3 us/step) — but loses in the small-cache regime where XLA's
+# fused einsum is already optimal (b8 GQA2 ctx1000, 8 MB cache: kernel
+# 116.4 vs jnp 81.1; a batch-resident (s_tiles,) grid variant measured
+# 113.0/24.4 standalone — rejected; b8 GQA2 ctx2000, 16.8 MB: kernel 138.3
+# vs jnp 116.5). So batch>1 takes the kernel only when the layer's k+v
+# buffers exceed FLASH_DECODE_MIN_CACHE_BYTES — 32 MB sits between the
+# measured loss at 16.8 MB and the measured win at 32.5 MB (b8 MHA
+# ctx1000); past ~33 MB the jnp path stops being comparable anyway (its
+# b8 ctx8000 prefill OOMs on a 15.4 GB score tensor; the flash path
+# serves it at 384.1 us/step).
+FLASH_DECODE_MAX_BATCH = 8
+FLASH_DECODE_MIN_CACHE_BYTES = 32 << 20
 
 
 @dataclasses.dataclass(frozen=True)
@@ -605,15 +616,22 @@ def attention_decode_core(
         q = apply_rope(q, pos + jnp.arange(1), cfg.rope_theta)
         k = apply_rope(k, pos + jnp.arange(1), cfg.rope_theta)
     cache = _cache_write(cache, k, v, pos)
+    quant = "k_scale" in cache
+    cache_bytes = 2 * cache["k"].size * cache["k"].dtype.itemsize
     if (
         use_flash
-        and b <= FLASH_DECODE_MAX_BATCH
         and cache.get("valid") is None
         and cfg.head_dim % 128 == 0
+        and (
+            b == 1
+            or quant  # jnp would re-materialize a dequantized cache
+            or (
+                b <= FLASH_DECODE_MAX_BATCH
+                and cache_bytes >= FLASH_DECODE_MIN_CACHE_BYTES
+            )
+        )
     ):
         from smmb_tpu.kernels.flash_decode import flash_attention_decode
-
-        quant = "k_scale" in cache
         out = flash_attention_decode(
             q[:, 0],
             cache["k"],

@@ -294,3 +294,29 @@ def test_generate_speculative_flash_equals_generate():
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_flash_decode_batch_rows_independent():
+    """Rows of a batched call match the same rows served alone when the
+    KV tile size is the same for both calls (S small enough that the
+    auto-chosen tile spans the cache either way). NOTE this is a
+    tile-schedule property, not a general cross-batch guarantee: a batch
+    large enough to shrink the auto tile changes the accumulation order
+    (measured on chip, round 4). The spec-decode contract only needs
+    decode-vs-chunk identity at the SAME batch/config, which
+    test_flash_chunk_rows_bitwise_match_decode covers."""
+    from smmb_tpu.kernels.flash_decode import flash_attention_decode
+
+    B, S, kvh, hd, pos = 4, 256, 2, 128, 199
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(kq, (B, 4, hd), jnp.bfloat16)
+    kc = jax.random.normal(kk, (B, S, kvh * hd), jnp.bfloat16)
+    vc = jax.random.normal(kv, (B, S, kvh * hd), jnp.bfloat16)
+    batched = np.asarray(flash_attention_decode(q, kc, vc, pos))
+    for r in range(B):
+        row = np.asarray(
+            flash_attention_decode(
+                q[r : r + 1], kc[r : r + 1], vc[r : r + 1], pos
+            )
+        )
+        np.testing.assert_array_equal(batched[r], row[0])
