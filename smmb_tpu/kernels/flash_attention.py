@@ -51,10 +51,7 @@ _LOG2E = 1.4426950408889634  # softmax runs in base 2 (see _flash_kernel)
 
 
 def _flash_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    *rest,
+    *refs,
     ns: int,
     scale: float,
     causal: bool,
@@ -64,15 +61,34 @@ def _flash_kernel(
     s_len: int,
     precision,
     diag_mask: bool,
+    tri: bool = False,
 ):
+    if tri:
+        # triangular grid: the (q-tile, kv-tile) pair for this step comes
+        # from scalar-prefetched enumeration arrays — only LIVE tiles are
+        # ever stepped (see the wrapper; measured: the rectangular causal
+        # grid spent ~0.6 us on every skipped above-diagonal step, ~26% of
+        # the kernel at T=4096)
+        i_ref, s_ref, q_ref, k_ref, v_ref, *rest = refs
+        p = pl.program_id(1)
+        i = i_ref[p]
+        s = s_ref[p]
+    else:
+        q_ref, k_ref, v_ref, *rest = refs
+        i = pl.program_id(1)
+        s = pl.program_id(2)
     if diag_mask:
         dm_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         o_ref, m_ref, l_ref, acc_ref = rest
-    i = pl.program_id(1)
-    s = pl.program_id(2)
 
-    @pl.when(s == 0)
+    if tri and window is not None:
+        # first live tile of row-block i (the window's lower edge)
+        row_start = jnp.maximum(0, (i * block_q - window + 1) // block_kv)
+    else:
+        row_start = 0
+
+    @pl.when(s == row_start)
     def _():
         m_ref[:] = jnp.full_like(m_ref, _NEG)
         l_ref[:] = jnp.zeros_like(l_ref)
@@ -149,14 +165,18 @@ def _flash_kernel(
 
     if causal:
         # tiles entirely above the diagonal — or entirely below the
-        # sliding window — are skipped: the index map re-used an already
+        # sliding window — are skipped. Triangular grids never step them
+        # (live_tile is construction-true); rectangular grids re-use the
         # fetched block (no DMA) and pl.when skips the compute
-        live_tile = s * block_kv <= i * block_q + block_q - 1
-        if window is not None:
-            live_tile = jnp.logical_and(
-                live_tile,
-                s * block_kv + block_kv - 1 > i * block_q - window,
-            )
+        if tri:
+            live_tile = jnp.bool_(True)
+        else:
+            live_tile = s * block_kv <= i * block_q + block_q - 1
+            if window is not None:
+                live_tile = jnp.logical_and(
+                    live_tile,
+                    s * block_kv + block_kv - 1 > i * block_q - window,
+                )
         # fully-live interior tiles take the unmasked body: below the
         # diagonal, above the window lower edge, clear of the padded tail
         full = i * block_q >= s * block_kv + block_kv - 1
@@ -211,7 +231,16 @@ def _flash_kernel(
     else:
         body(False)
 
-    @pl.when(s == ns - 1)
+    if tri:
+        # last live tile of row-block i: the diagonal tile (clamped to the
+        # kv range — the padded-T tail rows point past it)
+        row_end = jnp.minimum(
+            (i * block_q + block_q - 1) // block_kv, ns - 1
+        )
+    else:
+        row_end = ns - 1
+
+    @pl.when(s == row_end)
     def _():
         l = l_ref[:, :1]
         # l == 0 only on fully masked rows (the padded T tail) — emit 0,
@@ -304,22 +333,6 @@ def flash_attention(
 
     nq, ns = tp // bq, sp // bs
 
-    if causal:
-        # past the diagonal (or below the window), re-use the nearest live
-        # block index → no DMA for skipped tiles
-        def kv_index(bh, i, si):
-            hi = (i * bq + bq - 1) // bs
-            if window is None:
-                return (bh // g, jnp.minimum(si, hi), 0)
-            lo = jnp.maximum(0, (i * bq - window + 1) // bs)
-            return (bh // g, jnp.clip(si, lo, hi), 0)
-
-    else:
-
-        def kv_index(bh, i, si):
-            return (bh // g, si, 0)
-
-    kv_spec = pl.BlockSpec((1, bs, hp), kv_index, memory_space=pltpu.VMEM)
     # every exactly-on-diagonal tile shares the row>=col mask when the q
     # and kv tiles are the same size — build it once (XLA, ~2 VPU passes
     # total) and let the constant index map DMA it into VMEM exactly once
@@ -332,79 +345,143 @@ def flash_attention(
             else jax.lax.Precision.DEFAULT
         )
 
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel,
-            ns=ns,
-            scale=scale,
-            causal=causal,
-            window=window,
-            block_q=bq,
-            block_kv=bs,
-            s_len=s_len,
-            precision=precision,
-            diag_mask=diag_mask,
+    kernel_kw = dict(
+        ns=ns,
+        scale=scale,
+        causal=causal,
+        window=window,
+        block_q=bq,
+        block_kv=bs,
+        s_len=s_len,
+        precision=precision,
+        diag_mask=diag_mask,
+    )
+    scratch_shapes = [
+        pltpu.VMEM((bq, 128), jnp.float32),
+        pltpu.VMEM((bq, 128), jnp.float32),
+        pltpu.VMEM((bq, hp), jnp.float32),
+    ]
+    cost = pl.CostEstimate(
+        flops=(2 if causal else 4) * b * h * tp * sp * hp,
+        bytes_accessed=(
+            b * h * tp * hp * q.dtype.itemsize
+            + 2 * b * kvh * sp * hp * k.dtype.itemsize
+            + b * h * tp * hp * q.dtype.itemsize
         ),
-        grid=(b * h, nq, ns),
-        in_specs=[
-            pl.BlockSpec(
-                (1, bq, hp),
-                lambda bh, i, si: (bh, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            kv_spec,
-            kv_spec,
+        transcendentals=b * h * tp * sp // (2 if causal else 1),
+    )
+    dm_operand = (
+        [
+            (
+                jax.lax.broadcasted_iota(jnp.int32, (bq, bs), 0)
+                >= jax.lax.broadcasted_iota(jnp.int32, (bq, bs), 1)
+            ).astype(jnp.int8)
         ]
-        + (
+        if diag_mask
+        else []
+    )
+    out_shape = jax.ShapeDtypeStruct((b * h, tp, hp), q.dtype)
+
+    if causal:
+        # TRIANGULAR grid: enumerate only the live (q-tile, kv-tile)
+        # pairs (host-side, static) and scalar-prefetch the enumeration.
+        # The rectangular causal grid paid a bookkeeping step for every
+        # skipped above-diagonal tile — measured ~26% of the kernel at
+        # T=4096 MHA bf16 (causal 691 us at 0.25 raw-grid util vs
+        # non-causal 1019 us at 0.68 — scripts/probe_flash_vpu.py r4).
+        # Ascending s within each row keeps the accumulation order
+        # identical to the rectangular grid (bitwise same outputs).
+        def _diag(i):
+            return min((i * bq + bq - 1) // bs, ns - 1)
+
+        def _lo(i):
+            if window is None:
+                return 0
+            return max(0, (i * bq - window + 1) // bs)
+
+        pairs_i, pairs_s = [], []
+        for i in range(nq):
+            for si in range(_lo(i), _diag(i) + 1):
+                pairs_i.append(i)
+                pairs_s.append(si)
+        i_arr = jnp.asarray(pairs_i, jnp.int32)
+        s_arr = jnp.asarray(pairs_s, jnp.int32)
+
+        def q_index(bh, p, i_ref, s_ref):
+            return (bh, i_ref[p], 0)
+
+        def kv_index(bh, p, i_ref, s_ref):
+            return (bh // g, s_ref[p], 0)
+
+        kv_spec = pl.BlockSpec(
+            (1, bs, hp), kv_index, memory_space=pltpu.VMEM
+        )
+        in_specs = [
+            pl.BlockSpec((1, bq, hp), q_index, memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
+        ] + (
             [
                 pl.BlockSpec(
                     (bq, bs),
-                    lambda bh, i, si: (0, 0),
+                    lambda bh, p, i_ref, s_ref: (0, 0),
                     memory_space=pltpu.VMEM,
                 )
             ]
             if diag_mask
             else []
-        ),
-        out_specs=pl.BlockSpec(
-            (1, bq, hp),
-            lambda bh, i, si: (bh, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, tp, hp), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, hp), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=(2 if causal else 4) * b * h * tp * sp * hp,
-            bytes_accessed=(
-                b * h * tp * hp * q.dtype.itemsize
-                + 2 * b * kvh * sp * hp * k.dtype.itemsize
-                + b * h * tp * hp * q.dtype.itemsize
+        )
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, tri=True, **kernel_kw),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(b * h, len(pairs_i)),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (1, bq, hp), q_index, memory_space=pltpu.VMEM
+                ),
+                scratch_shapes=scratch_shapes,
             ),
-            transcendentals=b * h * tp * sp // (2 if causal else 1),
-        ),
-        interpret=use_interpret(interpret),
-    )(
-        qf,
-        kf,
-        vf,
-        *(
-            [
-                (
-                    jax.lax.broadcasted_iota(jnp.int32, (bq, bs), 0)
-                    >= jax.lax.broadcasted_iota(jnp.int32, (bq, bs), 1)
-                ).astype(jnp.int8)
-            ]
-            if diag_mask
-            else []
-        ),
-    )
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=use_interpret(interpret),
+        )(i_arr, s_arr, qf, kf, vf, *dm_operand)
+    else:
+
+        def kv_index(bh, i, si):
+            return (bh // g, si, 0)
+
+        kv_spec = pl.BlockSpec(
+            (1, bs, hp), kv_index, memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, tri=False, **kernel_kw),
+            grid=(b * h, nq, ns),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, bq, hp),
+                    lambda bh, i, si: (bh, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                kv_spec,
+                kv_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bq, hp),
+                lambda bh, i, si: (bh, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=use_interpret(interpret),
+        )(qf, kf, vf)
     if (tp, hp) != (t, hd):
         out = out[:, :t, :hd]
     return out.reshape(b, h, t, hd)
