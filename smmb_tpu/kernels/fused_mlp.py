@@ -240,6 +240,134 @@ def fused_mlp(
     return out
 
 
+def _norm_qkv_kernel(
+    x_ref,
+    g_ref,
+    w_ref,
+    sc_ref,
+    b_ref,
+    o_ref,
+    *,
+    eps: float,
+    d: int,
+    compute_dtype,
+    precision,
+):
+    # RMSNorm recomputed per N-tile: at decode M the (M, D) norm is a few
+    # VPU passes — cheaper than a scratch + first-step sync
+    x = x_ref[:].astype(jnp.float32)
+    ms = jnp.sum(x * x, axis=-1, keepdims=True) / d
+    h = (x * jax.lax.rsqrt(ms + eps) * g_ref[:].astype(jnp.float32)).astype(
+        compute_dtype
+    )
+    acc = _decode_dot(
+        h,
+        w_ref,
+        jnp.zeros((x_ref.shape[0], w_ref.shape[1]), jnp.float32),
+        compute_dtype,
+        precision,
+    )
+    o_ref[:] = (acc * sc_ref[:] + b_ref[:].astype(jnp.float32)).astype(
+        o_ref.dtype
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "compute_dtype", "block_n", "interpret"),
+)
+def fused_norm_qkv(
+    x: jax.Array,
+    norm_g: jax.Array,
+    wqkv: TernaryPacked,
+    qkv_scale: jax.Array,
+    bqkv: jax.Array,
+    *,
+    eps: float,
+    compute_dtype=jnp.bfloat16,
+    block_n: int = 1024,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """``rmsnorm(x, norm_g, eps) @ Wqkv · qkv_scale + bqkv`` in one pallas
+    launch — the decode step's HEAD companion to ``fused_block_tail``:
+    the pre-attention RMSNorm rides the fused QKV projection instead of
+    being its own XLA fusion between kernel launches.
+
+    qkv_scale is the per-COLUMN scale vector pack_attention stores (the
+    per-matrix scalars broadcast over their column spans); applied
+    post-dot like the unfused path. Output dtype follows x (the cache
+    write expects it). Same decode/accumulation as packed_spmm "shift".
+
+    Per-row results are independent of other rows (MXU rows, per-row
+    norm) — the spec-decode row-identity contract holds here too.
+    """
+    if jnp.dtype(compute_dtype) not in (jnp.dtype(jnp.float32),
+                                        jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"fused_norm_qkv is float-only, got {compute_dtype}")
+    m, d = x.shape
+    kd, n = wqkv.shape
+    if kd != d or norm_g.shape != (d,):
+        raise ValueError(f"x {x.shape} / wqkv {wqkv.shape} / g {norm_g.shape}")
+    if d % GROUP_ROWS:
+        raise ValueError(f"D={d} must be a multiple of {GROUP_ROWS}")
+    if n % 128 or qkv_scale.shape != (n,) or bqkv.shape != (n,):
+        raise ValueError(f"bad N={n} or scale/bias shapes")
+    # largest lane-aligned tile ≤ block_n that divides N (N = D + 2·kv_dim
+    # is not always a power of two — e.g. 1536 under GQA)
+    bn = min(block_n, n)
+    while n % bn:
+        bn -= 128
+
+    sub_min = 16 if compute_dtype == jnp.bfloat16 else 8
+    mp = round_up(m, sub_min)
+    xq = x if mp == m else jnp.pad(x, ((0, mp - m), (0, 0)))
+    g2 = norm_g.reshape(1, d)
+    sc = qkv_scale.astype(jnp.float32).reshape(1, n)
+    bq_ = bqkv.astype(jnp.float32).reshape(1, n)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _norm_qkv_kernel,
+            eps=eps,
+            d=d,
+            compute_dtype=compute_dtype,
+            precision=precision,
+        ),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((mp, d), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (d // VALUES_PER_BYTE, bn),
+                lambda s: (0, s),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, bn), lambda s: (0, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda s: (0, s), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (mp, bn), lambda s: (0, s), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * d * n,
+            bytes_accessed=mp * d * 4
+            + d * n // VALUES_PER_BYTE
+            + mp * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(interpret),
+    )(xq, g2, wqkv.data, sc, bq_)
+    return out[:m] if mp != m else out
+
+
 def _tail_kernel(
     att_ref,
     x_ref,

@@ -587,6 +587,42 @@ def attention_decode_step(
     return y, cache
 
 
+def _qkv_prenorm_fusable(packed, cfg, compute_dtype, use_kernel):
+    """Can the pre-attention RMSNorm ride the fused QKV kernel
+    (kernels/fused_mlp.fused_norm_qkv)? Mirrors _proj_qkv's fused-plane
+    conditions plus the packed-group alignment the kernel needs."""
+    return (
+        use_kernel
+        and packed.get("wqkv") is not None
+        and not any(
+            packed.get(n + "_lora") is not None for n in ("wq", "wk", "wv")
+        )
+        and jnp.dtype(compute_dtype)
+        in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
+        and cfg.d_model % 512 == 0
+        and packed["wqkv"].cols % 128 == 0
+    )
+
+
+def _proj_qkv_prenorm(packed, x, cfg, prenorm, compute_dtype):
+    """norm1 + fused QKV in ONE kernel launch (decode/extend fast path)."""
+    from smmb_tpu.kernels.fused_mlp import fused_norm_qkv
+
+    b = x.shape[0]
+    lead = x.shape[:-1]
+    y = fused_norm_qkv(
+        x.reshape(-1, x.shape[-1]),
+        prenorm[0],
+        packed["wqkv"],
+        packed["qkv_scale"],
+        packed["bqkv"],
+        eps=prenorm[1],
+        compute_dtype=compute_dtype,
+    ).reshape(*lead, -1)
+    d, kvd = cfg.d_model, cfg.kv_dim
+    return y[..., :d], y[..., d : d + kvd], y[..., d + kvd :]
+
+
 def attention_decode_core(
     packed: dict,
     x_t: jax.Array,
@@ -597,17 +633,26 @@ def attention_decode_core(
     use_kernel: bool = True,
     precision=None,
     use_flash: bool = False,
+    prenorm=None,
 ) -> tuple[jax.Array, dict]:
     """``attention_decode_step`` minus the output projection: returns the
     PRE-``wo`` attention mix (B, 1, H·hd) and the updated cache. Exists so
     the block layer can fuse ``wo`` + residual + norm + MLP into one pallas
     launch (kernels/fused_mlp.fused_block_tail) on the dispatch-bound
-    decode path."""
+    decode path.
+
+    ``prenorm=(norm_g, eps)``: x_t is the RAW residual stream and the
+    pre-attention RMSNorm runs inside the fused QKV kernel
+    (fused_norm_qkv) — one launch, no XLA norm fusion between kernels.
+    The caller must have checked ``_qkv_prenorm_fusable``."""
     b, one, d = x_t.shape
     if one != 1:
         raise ValueError(f"decode step takes one token, got T={one}")
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
-    qf, kf, vf = _proj_qkv(packed, x_t, cfg, **kw)  # one fused weight pass
+    if prenorm is not None:
+        qf, kf, vf = _proj_qkv_prenorm(packed, x_t, cfg, prenorm, compute_dtype)
+    else:
+        qf, kf, vf = _proj_qkv(packed, x_t, cfg, **kw)  # one fused weight pass
     q = _split_heads(qf, cfg)  # (B,1,H,hd)
     k = _split_heads(kf, cfg, cfg.kv_heads)
     v = _split_heads(vf, cfg, cfg.kv_heads)
@@ -699,13 +744,18 @@ def attention_extend_core(
     use_kernel: bool = True,
     precision=None,
     use_flash: bool = False,
+    prenorm=None,
 ) -> tuple[jax.Array, dict]:
     """``attention_extend`` minus the output projection (see
-    ``attention_decode_core`` — same split, chunk case). Returns the
-    pre-``wo`` mix (B, C, H·hd) and the updated cache."""
+    ``attention_decode_core`` — same split, chunk case, same ``prenorm``
+    contract). Returns the pre-``wo`` mix (B, C, H·hd) and the updated
+    cache."""
     b, c, d = x.shape
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
-    qf, kf, vf = _proj_qkv(packed, x, cfg, **kw)  # one fused weight pass
+    if prenorm is not None:
+        qf, kf, vf = _proj_qkv_prenorm(packed, x, cfg, prenorm, compute_dtype)
+    else:
+        qf, kf, vf = _proj_qkv(packed, x, cfg, **kw)  # one fused weight pass
     q = _split_heads(qf, cfg)  # (B,C,H,hd)
     k = _split_heads(kf, cfg, cfg.kv_heads)
     v = _split_heads(vf, cfg, cfg.kv_heads)

@@ -229,7 +229,7 @@ def _fused_tail(packed, out, x, cfg, compute_dtype):
         alpha=cfg.alpha,
         eps=cfg.eps,
         compute_dtype=compute_dtype,
-        block_h=1024 if hdim >= 1024 else hdim,
+        block_h=2048 if hdim >= 2048 else hdim,
     )
     return y.reshape(x.shape)
 
@@ -353,15 +353,29 @@ def block_decode_step(
     kw = dict(
         compute_dtype=compute_dtype, use_kernel=use_kernel, precision=precision
     )
-    h = rmsnorm(x_t, packed["norm1"], cfg.eps)
     b, t, _ = x_t.shape
     if _tail_fusable(packed, b * t, compute_dtype, use_kernel):
-        from smmb_tpu.models.attention import attention_decode_core
-
-        out, cache = attention_decode_core(
-            packed["attn"], h, cache, cfg.attn, use_flash=use_flash, **kw
+        from smmb_tpu.models.attention import (
+            _qkv_prenorm_fusable,
+            attention_decode_core,
         )
+
+        if _qkv_prenorm_fusable(
+            packed["attn"], cfg.attn, compute_dtype, use_kernel
+        ):
+            # norm1 rides the fused QKV kernel: the whole block is three
+            # launches (norm+qkv, cache read, wo+residual+norm2+MLP)
+            out, cache = attention_decode_core(
+                packed["attn"], x_t, cache, cfg.attn, use_flash=use_flash,
+                prenorm=(packed["norm1"], cfg.eps), **kw
+            )
+        else:
+            h = rmsnorm(x_t, packed["norm1"], cfg.eps)
+            out, cache = attention_decode_core(
+                packed["attn"], h, cache, cfg.attn, use_flash=use_flash, **kw
+            )
         return _fused_tail(packed, out, x_t, cfg, compute_dtype), cache
+    h = rmsnorm(x_t, packed["norm1"], cfg.eps)
     att, cache = attention_decode_step(
         packed["attn"], h, cache, cfg.attn, use_flash=use_flash, **kw
     )
@@ -390,17 +404,29 @@ def block_extend(
         compute_dtype=compute_dtype, use_kernel=use_kernel,
         precision=precision, use_flash=use_flash,
     )
-    h = rmsnorm(x, packed["norm1"], cfg.eps)
     b, c, _ = x.shape
     if _tail_fusable(packed, b * c, compute_dtype, use_kernel):
-        # same fused tail as the decode step (M=C rows): per-row bitwise
-        # identity between the two is the speculative-decode contract
-        from smmb_tpu.models.attention import attention_extend_core
-
-        out, cache = attention_extend_core(
-            packed["attn"], h, cache, cfg.attn, **kw
+        # same fused tail + prenorm-QKV as the decode step (M=C rows):
+        # per-row bitwise identity between the two is the spec contract
+        from smmb_tpu.models.attention import (
+            _qkv_prenorm_fusable,
+            attention_extend_core,
         )
+
+        if _qkv_prenorm_fusable(
+            packed["attn"], cfg.attn, compute_dtype, use_kernel
+        ):
+            out, cache = attention_extend_core(
+                packed["attn"], x, cache, cfg.attn,
+                prenorm=(packed["norm1"], cfg.eps), **kw
+            )
+        else:
+            h = rmsnorm(x, packed["norm1"], cfg.eps)
+            out, cache = attention_extend_core(
+                packed["attn"], h, cache, cfg.attn, **kw
+            )
         return _fused_tail(packed, out, x, cfg, compute_dtype), cache
+    h = rmsnorm(x, packed["norm1"], cfg.eps)
     att, cache = attention_extend(packed["attn"], h, cache, cfg.attn, **kw)
     x = x + att
     y = _mlp_half(packed, x, cfg, _make_spmm(compute_dtype, use_kernel), compute_dtype, use_kernel)
