@@ -12,11 +12,17 @@ set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH="$PWD:${PYTHONPATH:-}"
 mkdir -p bench_out
-HEAD=$(git rev-parse --short=12 HEAD)
 LOG=bench_out/r4_hw.log
 
 run() { # name timeout cmd...
   local name=$1 to=$2 rc; shift 2
+  # HEAD re-read per step: docs-only commits landing mid-batch must not
+  # invalidate later artifacts (the stamp itself is scoped to code paths,
+  # and the dirty-tree refusal below still guards code edits) — a fixed
+  # start-of-batch HEAD discarded two artifacts this round when README
+  # commits moved HEAD under a running batch
+  local HEAD
+  HEAD=$(git rev-parse --short=12 HEAD)
   echo "=== $name ($(date +%T)) ===" | tee -a "$LOG"
   timeout "$to" "$@" > bench_out/"$name".txt 2>&1
   rc=$?
