@@ -369,6 +369,13 @@ def _cache_write(cache: dict, k, v, pos, valid=None) -> dict:
         )
     b, c = k.shape[:2]
     if "k_scale" in cache:
+        # NOTE a one-launch fused quantize+append pallas kernel exists
+        # (kernels/cache_append.py, bitwise-code parity verified on chip)
+        # but is NOT routed: replacing the 2 quantize fusions + 4
+        # dynamic_update_slices below with it measured SLOWER end-to-end
+        # (int8 GQA2 ctx16k 129.3 vs 121.6 us/tok, round 4) — the dus
+        # write path is ~free in the serving scan, which exonerates it as
+        # the source of the int8 GQA overhead (docs/ROADMAP.md).
         kq, ks = _quantize_kv(k)
         vq, vs = _quantize_kv(v)
         for name, val, at in (
