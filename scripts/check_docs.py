@@ -100,10 +100,51 @@ def main() -> int:
                     f"{cites}: {line.strip()[:120]}"
                 )
 
+    # Stamp freshness (round-4): every STAMPED artifact must describe the
+    # code at HEAD — i.e. the diff from its stamped commit to HEAD over
+    # the code paths that affect measurements must be empty. Artifacts
+    # predating the stamp system (round ≤3) are skipped; docs-only
+    # commits after a hardware run keep artifacts valid by construction.
+    import subprocess
+
+    stamp_re = re.compile(r"^\[stamp\] git=([0-9a-f]{8,})(\+dirty)?", re.M)
+    code_paths = [
+        "smmb_tpu", "scripts", "bench.py", "__graft_entry__.py", "tests",
+    ]
+    stale = []
+    bench_dir = REPO / "bench_out"
+    if bench_dir.exists():
+        for p in sorted(bench_dir.glob("*.txt")):
+            try:
+                m = stamp_re.search(p.read_text(errors="replace"))
+            except OSError:
+                continue
+            if not m:
+                continue
+            sha, dirty = m.group(1), m.group(2)
+            if dirty:
+                stale.append(f"{p.name}: stamped DIRTY ({sha}{dirty})")
+                continue
+            r = subprocess.run(
+                ["git", "diff", "--quiet", f"{sha}..HEAD", "--", *code_paths],
+                cwd=REPO, capture_output=True,
+            )
+            if r.returncode == 1:
+                stale.append(
+                    f"{p.name}: stamped {sha}, code paths changed since"
+                )
+            elif r.returncode not in (0, 1):
+                stale.append(f"{p.name}: stamp {sha} not resolvable in git")
+
     print(f"check_docs: {checked} cited lines checked, {len(flagged)} flagged")
     for f in flagged:
         print("  FLAG", f)
-    return 1 if flagged else 0
+    print(
+        f"stamp_freshness: {len(stale)} stamped artifact(s) stale vs HEAD"
+    )
+    for s in stale:
+        print("  STALE", s)
+    return 1 if flagged or stale else 0
 
 
 if __name__ == "__main__":

@@ -66,6 +66,7 @@ if run verify_lm 1200 python scripts/verify_lm.py; then
   run spec_win 4000 python scripts/bench_spec_win.py
   run kvq_crossover 3000 python scripts/bench_kvq_crossover.py
   run batch_decode 3000 python scripts/probe_batch_decode.py
+  run profile 2400 python scripts/profile_kernels.py
 else
   echo "SKIP serving benches: verify_lm FAILED" | tee -a "$LOG"
   for f in lm_bench decode_bench decode_flash verify_flash_decode \

@@ -231,3 +231,33 @@ def test_mlp_fusable_gate():
     assert not _mlp_fusable(
         {**packed, "w_up_lora": (1, 2, 3)}, h_small, jnp.bfloat16, True
     )
+
+
+def test_fused_norm_qkv_parity(key):
+    """fused_norm_qkv == rmsnorm + packed_spmm_jnp with per-column scale."""
+    from smmb_tpu.formats.packed import pack_ternary as pt
+    from smmb_tpu.kernels.fused_mlp import fused_norm_qkv
+
+    m, d, n = 2, 512, 1536
+    ks = jax.random.split(key, 4)
+    x = rng.rand_dense(ks[0], (m, d))
+    g = 1.0 + 0.1 * rng.rand_dense(ks[1], (d,))
+    w = rng.rand_ternary(ks[2], (d, n), non_zero=2)
+    b = rng.rand_dense(ks[3], (n,))
+    sc = jnp.concatenate(
+        [jnp.full((512,), 0.7), jnp.full((512,), 1.1), jnp.full((512,), 0.9)]
+    ).astype(jnp.float32)
+    eps = 1e-6
+    y = fused_norm_qkv(
+        x, g, pt(np.asarray(w)), sc, b, eps=eps, compute_dtype=jnp.float32
+    )
+    x64 = np.asarray(x, np.float64)
+    h = x64 / np.sqrt((x64**2).mean(-1, keepdims=True) + eps) * np.asarray(
+        g, np.float64
+    )
+    oracle = h @ np.asarray(w, np.float64) * np.asarray(
+        sc, np.float64
+    ) + np.asarray(b, np.float64)
+    np.testing.assert_allclose(
+        np.asarray(y, np.float64), oracle, rtol=1e-5, atol=2e-4
+    )
