@@ -140,26 +140,17 @@ def main():
     # held-out prompt: real unseen text
     prompt = jnp.asarray(HELD[:PROMPT], jnp.int32)[None]
 
-    # --- 3) losslessness gate (on-chip, bf16, flash both paths) ---
+    # --- 3+4) per-k: losslessness gate, then device-slope timing.
+    # k is the draft depth; with per-token acceptance well below 1 a
+    # smaller k wastes fewer rejected draft steps per round — sweep it
+    # instead of assuming (round-3 shipped k=4 untuned; measured
+    # acceptance was only ~0.8/4).
     g_plain = np.asarray(generate(target, prompt, TCFG, STEPS, **KW))
-    g_spec, stats = generate_speculative(
-        target, draft, prompt, TCFG, DCFG, STEPS, k=K_SPEC,
-        return_stats=True, **KW,
-    )
-    g_spec = np.asarray(g_spec)
-    exact = bool((g_plain == g_spec).all())
-    agree = float((g_plain == g_spec).mean())
-    acc = float(stats["mean_accepted"])
-    t(f"spec == plain tokens: {exact} (agreement {agree:.2f}; "
-      f"mean accepted {acc:.2f}/{K_SPEC} per round, "
-      f"{int(stats['rounds'])} rounds)")
-    sample = bytes(g_spec[0, :48].astype(np.uint8)).decode("utf-8", "replace")
+    sample = bytes(
+        g_plain[0, :48].astype(np.uint8)
+    ).decode("utf-8", "replace")
     t(f"sample continuation: {sample!r}")
-    if not exact:
-        t("LOSSLESSNESS FAILED — refusing to publish timing numbers")
-        raise SystemExit(1)
 
-    # --- 4) device-slope timing ---
     def slope(fn_for_steps):
         lo = measure_device(*fn_for_steps(STEPS), reps=3).min_s
         hi = measure_device(*fn_for_steps(3 * STEPS), reps=3).min_s
@@ -169,17 +160,39 @@ def main():
         f = lambda tg, p: generate(tg, p, TCFG, steps, **KW)
         return (f, target, prompt)
 
-    def spec_at(steps):
-        f = lambda tg, dr, p: generate_speculative(
-            tg, dr, p, TCFG, DCFG, steps, k=K_SPEC, **KW
-        )
-        return (f, target, draft, prompt)
-
     p_us = slope(plain_at)
     t(f"plain generate:        {p_us:8.1f} us/tok")
-    s_us = slope(spec_at)
-    t(f"spec (distilled draft): {s_us:7.1f} us/tok "
-      f"({p_us / s_us:.2f}x vs plain, acceptance {acc:.2f}/{K_SPEC})")
+
+    best = None
+    for k_spec in (2, 3, 4):
+        g_spec, stats = generate_speculative(
+            target, draft, prompt, TCFG, DCFG, STEPS, k=k_spec,
+            return_stats=True, **KW,
+        )
+        g_spec = np.asarray(g_spec)
+        exact = bool((g_plain == g_spec).all())
+        agree = float((g_plain == g_spec).mean())
+        acc = float(stats["mean_accepted"])
+        t(f"k={k_spec}: spec == plain tokens: {exact} "
+          f"(agreement {agree:.2f}; mean accepted {acc:.2f}/{k_spec} "
+          f"per round, {int(stats['rounds'])} rounds)")
+        if not exact:
+            t("LOSSLESSNESS FAILED — refusing to publish timing numbers")
+            raise SystemExit(1)
+
+        def spec_at(steps, k_spec=k_spec):
+            f = lambda tg, dr, p: generate_speculative(
+                tg, dr, p, TCFG, DCFG, steps, k=k_spec, **KW
+            )
+            return (f, target, draft, prompt)
+
+        s_us = slope(spec_at)
+        t(f"k={k_spec}: spec (distilled draft): {s_us:7.1f} us/tok "
+          f"({p_us / s_us:.2f}x vs plain, acceptance {acc:.2f}/{k_spec})")
+        if best is None or s_us < best[1]:
+            best = (k_spec, s_us)
+    t(f"BEST: k={best[0]} at {best[1]:.1f} us/tok "
+      f"({p_us / best[1]:.2f}x vs plain)")
     t("DONE")
 
 
