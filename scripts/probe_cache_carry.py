@@ -31,7 +31,10 @@ except Exception:
 import jax.numpy as jnp
 
 from smmb_tpu.bench.measure import measure_device
-from smmb_tpu.kernels.flash_decode import flash_attention_decode
+from smmb_tpu.kernels.flash_decode import (
+    flash_attention_decode,
+    flash_attention_decode_quant,
+)
 
 
 def t(m):
@@ -69,24 +72,27 @@ def scan_probe(name, kc, vc, ksc=None, vsc=None, reshape_4d=False):
                     q,
                     kc.reshape(B, S, KVH, HD).reshape(B, S, KVD),
                     vc.reshape(B, S, KVH, HD).reshape(B, S, KVD),
-                    pos, k_scale=ksc, v_scale=vsc,
+                    pos,
                 )
+            elif ksc is not None:
+                # round-5 merged layout: kc carries the (B,S,2·KVD) codes
+                o = flash_attention_decode_quant(q, kc, ksc, pos)
             else:
-                o = flash_attention_decode(
-                    q, kc, vc, pos, k_scale=ksc, v_scale=vsc
-                )
-            newk = o.reshape(B, 1, KVD).astype(kc.dtype)
-            kc = jax.lax.dynamic_update_slice(kc, newk, (0, pos + 1, 0))
-            vc = jax.lax.dynamic_update_slice(vc, newk, (0, pos + 1, 0))
+                o = flash_attention_decode(q, kc, vc, pos)
             if ksc is not None:
-                # scales store (B, KVH, S) — models/attention.init_kv_cache
-                news = jnp.ones((B, KVH, 1), jnp.float32)
+                # merged layout: ONE code dus + ONE scale dus per step
+                newkv = jnp.broadcast_to(
+                    o.reshape(B, 1, KVD).astype(kc.dtype), (B, 1, 2 * KVD)
+                )
+                kc = jax.lax.dynamic_update_slice(kc, newkv, (0, pos + 1, 0))
+                news = jnp.ones((B, 2 * KVH, 1), jnp.float32)
                 ksc = jax.lax.dynamic_update_slice(
                     ksc, news, (0, 0, pos + 1)
                 )
-                vsc = jax.lax.dynamic_update_slice(
-                    vsc, news, (0, 0, pos + 1)
-                )
+            else:
+                newk = o.reshape(B, 1, KVD).astype(kc.dtype)
+                kc = jax.lax.dynamic_update_slice(kc, newk, (0, pos + 1, 0))
+                vc = jax.lax.dynamic_update_slice(vc, newk, (0, pos + 1, 0))
             q2 = (q + o.astype(q.dtype) * 0.001).astype(q.dtype)
             return (kc, vc, ksc, vsc, pos + 1, q2), jnp.sum(o).astype(
                 jnp.float32
@@ -103,10 +109,8 @@ def scan_probe(name, kc, vc, ksc=None, vsc=None, reshape_4d=False):
 
 scan_probe("C flat carry (shipped layout)    ", kc, vc)
 
-kc8 = jax.random.randint(kk, (B, S, KVD), -127, 127, jnp.int8)
-vc8 = jax.random.randint(kv, (B, S, KVD), -127, 127, jnp.int8)
-ksc = jax.random.uniform(ks, (B, KVH, S), jnp.float32, 0.01, 0.03)
-vsc = jax.random.uniform(ks, (B, KVH, S), jnp.float32, 0.01, 0.03)
-scan_probe("D int8 flat carry                ", kc8, vc8, ksc, vsc)
+kv8 = jax.random.randint(kk, (B, S, 2 * KVD), -127, 127, jnp.int8)
+ksc = jax.random.uniform(ks, (B, 2 * KVH, S), jnp.float32, 0.01, 0.03)
+scan_probe("D int8 merged carry (round 5)    ", kv8, None, ksc)
 t("DONE (variant B — the reshape-fed-custom-call copy — needs the old "
   "4D layout; see git history of kernels/flash_decode.py)")

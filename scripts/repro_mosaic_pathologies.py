@@ -9,6 +9,7 @@ compiles fine but runs ~2.5x slow.
     timeout 120 python scripts/repro_mosaic_pathologies.py fullk
     timeout 120 python scripts/repro_mosaic_pathologies.py cmp
     timeout 600 python scripts/repro_mosaic_pathologies.py laneslice  # runs
+    timeout 600 python scripts/repro_mosaic_pathologies.py segsumloop # faults
 
 Cases
 -----
@@ -24,6 +25,15 @@ Cases
                  128-aligned offset is fine, but *non*-128 offsets force
                  cross-lane relayouts: compiles, runs ~2.5x slower
                  (measured on the BCSR sub-dot variant, 109us vs 42.8us).
+
+* ``segsumloop``— the XLA gather + segment-sum program (ops/spmm.tcsc_spmm's
+                 shape) inside a LONG device-side scan: short loops run
+                 fine, loop lengths past ~100-200 iterations fault the dev
+                 chip (observed round 2-4; the sweep capped tcsc iters at
+                 100 until round 5 rerouted the on-TPU tcsc row to the
+                 padded sentinel layout, which loops indefinitely without
+                 fault). Expected reproduction: the 64-iter stage prints,
+                 the 400-iter stage faults or hangs the backend.
 
 Kept out of the test suite on purpose: these are toolchain repros, not
 framework behavior. The production kernels exclude every pathological
@@ -92,6 +102,37 @@ def run_case(name):
         )(x, w)
         y.block_until_ready()
         t(f"{name}: compiled + ran (NOT reproduced) sum={float(y.sum()):.1f}")
+        return
+
+    if name == "segsumloop":
+        m, k, n = 64, 1024, 2048
+        nnz = k * n // 10
+        rs = np.random.RandomState(0)
+        idx = jnp.asarray(rs.randint(0, k, size=nnz), jnp.int32)
+        seg = jnp.asarray(np.sort(rs.randint(0, n, size=nnz)), jnp.int32)
+        x = jnp.asarray(rs.rand(m, k), jnp.float32)
+
+        def spmm(x):
+            g = jnp.take(x.T, idx, axis=0)  # (nnz, M)
+            return jax.ops.segment_sum(g, seg, num_segments=n)
+
+        def loop(n_iters):
+            def body(c, _):
+                y = spmm(c)
+                live = jnp.sum(jnp.abs(y)).astype(jnp.float32)
+                c = jnp.where(live < jnp.inf, c, jnp.zeros_like(c))
+                return c, live
+
+            return jax.jit(
+                lambda x: jax.lax.scan(body, x, None, length=n_iters)[1][-1]
+            )
+
+        for n_it in (16, 64, 400):
+            t(f"segsumloop: running {n_it}-iteration device scan ...")
+            v = float(loop(n_it)(x))
+            t(f"segsumloop: {n_it} iters OK (probe {v:.3e})")
+        t("segsumloop: all lengths survived — fault NOT reproduced on this "
+          "backend/toolchain")
         return
 
     assert name == "laneslice"

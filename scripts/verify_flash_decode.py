@@ -125,30 +125,32 @@ for ctx, kvh_, name in [(8192, 8, "MHA"), (16384, 8, "MHA"),
     floor = 2 * ctx * kvh_ * HD * 2 / 819e9 * 1e6  # live KV bytes @ HBM BW
     row(f"bf16 {name} ctx={ctx}", floor, mj.min_s * 1e6, mk.min_s * 1e6)
 
-    # int8 cache: quantize the same values (scales stored (B, KVH, S),
-    # models/attention.init_kv_cache layout)
+    # int8 cache: quantize the same values into the MERGED round-5 layout
+    # (models/attention.init_kv_cache: kv (B,S,2·KVH·hd) interleaved codes
+    # + kv_scale (B,2·KVH,S))
+    from smmb_tpu.kernels.flash_decode import flash_attention_decode_quant
     from smmb_tpu.models.attention import _quantize_kv
 
     kq8, ks = _quantize_kv(kcb)
     vq8, vs = _quantize_kv(vcb)
-    kq8f = kq8.reshape(B, S2, kvh_ * HD)
-    vq8f = vq8.reshape(B, S2, kvh_ * HD)
-    ksf = ks[..., 0].transpose(0, 2, 1)
-    vsf = vs[..., 0].transpose(0, 2, 1)
+    kvm = jnp.stack([kq8, vq8], axis=3).reshape(B, S2, 2 * kvh_ * HD)
+    scm = (
+        jnp.stack([ks[..., 0], vs[..., 0]], axis=3)
+        .reshape(B, S2, 2 * kvh_)
+        .transpose(0, 2, 1)
+    )
 
-    def jnp_int8(q, kq8f, vq8f, ksf, vsf):
-        cache = {"k": kq8f, "v": vq8f, "k_scale": ksf, "v_scale": vsf}
+    def jnp_int8(q, kvm, scm):
+        cache = {"kv": kvm, "kv_scale": scm}
         kc, vc = _cache_kv(cache, kvh_)
         return _decode_attention_math(q[:, None], kc, vc, pos, HD)
 
     mjq = measure_device(
-        jnp_int8, q, kq8f, vq8f, ksf, vsf, reps=3, rotate_argnums=(1, 2)
+        jnp_int8, q, kvm, scm, reps=3, rotate_argnums=(1,)
     )
     mkq = measure_device(
-        lambda q, kq8f, vq8f, ksf, vsf: flash_attention_decode(
-            q, kq8f, vq8f, pos, k_scale=ksf, v_scale=vsf
-        ),
-        q, kq8f, vq8f, ksf, vsf, reps=3,
+        lambda q, kvm, scm: flash_attention_decode_quant(q, kvm, scm, pos),
+        q, kvm, scm, reps=3,
     )
     floor8 = ctx * kvh_ * HD * 2 / 819e9 * 1e6  # int8 halves KV bytes
     row(f"int8 {name} ctx={ctx}", floor8, mjq.min_s * 1e6, mkq.min_s * 1e6)

@@ -1,0 +1,230 @@
+"""Capacity-scale sweep: the reference's ORIGINAL full-size grid.
+
+The legacy driver's production grid was commented out before submission
+(/root/reference/SparseGEMM.cpp:69-72) — 8 paired cases up to
+M=64000, K=16384, N=4096. The preliminary grid everyone ran
+(SparseGEMM.cpp:74-80, reproduced by bench/sweep.py) stops at 64×1024×2048,
+so "matching the reference at its intended scale" was unproven through
+round 4 (VERDICT r4 missing #1). This driver runs the original grid on one
+chip with STREAMED M-tiles:
+
+* weights live as one 2-bit ``TernaryPacked`` plane (the 16384×4096 case is
+  16.8 MB packed vs 268 MB dense f32 — the format IS the capacity answer);
+* activations are bf16 and walk through a ``lax.scan`` over (bm, K) tiles,
+  so the M=64000 pass peaks at X (2.1 GB) + Y (0.5 GB) + weight, far inside
+  the 16 GiB HBM — the scan is the serving shape for streaming-batch
+  inference, and XLA pipelines tile compute with HBM reads;
+* every case validates a row-slice against the f64 dense oracle before
+  timing (the reference's validate-before-measure invariant, SURVEY §4).
+
+CLI:  python -m smmb_tpu.bench.capacity --csv bench_out/sweep_large.csv \
+        --plot bench_out/sweep_large.png
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smmb_tpu.bench.flops import sparse_flops, spmm_bytes
+from smmb_tpu.bench.measure import measure_device
+from smmb_tpu.bench.roofline import chip_spec, roofline_time_s
+from smmb_tpu.bench.sweep import DISPATCH_FLOOR_S, LEGACY_ALPHA, CaseResult
+from smmb_tpu.formats.packed import pack_ternary_device
+from smmb_tpu.utils import rng
+
+# /root/reference/SparseGEMM.cpp:69-72 — the commented original test cases
+# (paired, not a cross-product)
+ORIGINAL_CASES = [
+    (1, 512, 2048),
+    (16, 1024, 4096),
+    (64, 2048, 8192),
+    (256, 4096, 16384),
+    (1000, 2048, 512),
+    (4000, 4096, 1024),
+    (16000, 8192, 2048),
+    (64000, 16384, 4096),
+]
+ORIGINAL_NON_ZERO = [2, 8, 16]  # SparseGEMM.cpp:79
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def _streamed(fn, nt):
+    """fn over the tile axis: identity at nt=1, lax.scan stream otherwise."""
+    if nt == 1:
+        return lambda xt, w, b: fn(xt[0], w, b)[None]
+
+    def run(xt, w, b):
+        return jax.lax.scan(lambda _, x: (0, fn(x, w, b)), 0, xt)[1]
+
+    return run
+
+
+def run_capacity_case(
+    m: int,
+    k: int,
+    n: int,
+    non_zero: int,
+    *,
+    bm: int = 8192,
+    seed: int = 0,
+    reps: int = 3,
+    validate_rows: int = 64,
+) -> list[CaseResult]:
+    """One original-grid case: build → validate slice → measure streamed
+    passes for the packed bf16 kernel and the dense bf16 baseline."""
+    from smmb_tpu.kernels.packed_spmm import packed_spmm
+    from smmb_tpu.ops.spmm import packed_spmm_jnp
+
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(seed), 3)
+    w_dense = rng.rand_ternary(kw, (k, n), non_zero=non_zero)
+    nnz = int(jnp.count_nonzero(w_dense))
+    p = pack_ternary_device(w_dense)
+    b = rng.rand_dense(kb, (n,))
+
+    bm_eff = min(_round_up(m, 128), bm)
+    nt = -(-m // bm_eff)
+    mp = nt * bm_eff
+    # bf16 activations: the serving dtype, and what keeps X at 2 bytes/elt
+    x = (rng.rand_dense(kx, (mp, k)) * (jnp.arange(mp)[:, None] < m)).astype(
+        jnp.bfloat16
+    )
+    xt = x.reshape(nt, bm_eff, k)
+
+    use_pallas = jax.default_backend() == "tpu"
+
+    def packed_fn(xi, w, bias):
+        if use_pallas:
+            return packed_spmm(xi, w, bias, compute_dtype=jnp.bfloat16)
+        return packed_spmm_jnp(xi, w, bias, dtype=jnp.bfloat16)
+
+    w_bf16 = w_dense.astype(jnp.bfloat16)
+
+    def dense_fn(xi, w, bias):
+        return (
+            jnp.dot(xi, w, preferred_element_type=jnp.float32) + bias
+        ).astype(xi.dtype)
+
+    case = f"{m}x{k}x{n}@{1 / non_zero:.3g}"
+    spec = chip_spec()
+    out = []
+    # f64 oracle on a row slice (full-M oracles are multi-TFLOP at 64000)
+    vr = min(validate_rows, m)
+    xs = np.asarray(x[:vr], np.float64)
+    oracle = xs @ np.asarray(w_dense, np.float64) + np.asarray(b, np.float64)
+    tol = 0.02 * max(1.0, float(np.abs(oracle).max()))  # bf16 inputs
+
+    for name, fn, w_arg, wbytes in (
+        ("packed_kernel_bf16", packed_fn, p, p.weight_bytes()),
+        ("dense_bf16", dense_fn, w_bf16, 2 * k * n),
+    ):
+        run = jax.jit(_streamed(fn, nt))
+        try:
+            y = run(xt, w_arg, b)
+            got = np.asarray(
+                y.reshape(mp, n)[:vr], np.float64
+            )
+            err = float(np.abs(got - oracle).max())
+            if err > tol:
+                out.append(CaseResult(case, name, False, err, float("nan"),
+                                      0, 0.0, 0.0, 0.0))
+                print(f"[{case}] {name}: INVALID err={err:.3e}",
+                      file=sys.stderr, flush=True)
+                continue
+            meas = measure_device(run, xt, w_arg, b, reps=reps)
+        except Exception as e:
+            print(f"[{case}] {name}: ERROR {type(e).__name__}: "
+                  f"{str(e)[:120]}", file=sys.stderr, flush=True)
+            out.append(CaseResult(case, name, False, float("inf"),
+                                  float("nan"), 0, 0.0, 0.0, 0.0))
+            continue
+        t_best = meas.min_s
+        work = sparse_flops(m, n, nnz)
+        byt = spmm_bytes(
+            m, n, k, weight_bytes=wbytes, x_itemsize=2, y_itemsize=2
+        )
+        sol = roofline_time_s(2.0 * m * n * k, byt, spec, dtype="bf16")
+        out.append(CaseResult(
+            case, name, True, err, t_best, work, work / t_best,
+            nnz * m / t_best, sol / t_best,
+            dispatch_bound=t_best < DISPATCH_FLOOR_S,
+        ))
+        print(
+            f"[{case}] {name:<20s} t={t_best * 1e6:10.1f}us "
+            f"frac={sol / t_best:5.2f} err={err:.1e}",
+            file=sys.stderr, flush=True,
+        )
+    return out
+
+
+def hbm_stats() -> str:
+    """Peak/in-use HBM of device 0 (the no-OOM-at-capacity evidence)."""
+    try:
+        st = jax.devices()[0].memory_stats() or {}
+        peak = st.get("peak_bytes_in_use", 0) / 2**30
+        lim = st.get("bytes_limit", 0) / 2**30
+        return f"peak HBM {peak:.2f} GiB of {lim:.2f} GiB limit"
+    except Exception:
+        return "memory_stats unavailable on this backend"
+
+
+def main(argv=None):
+    import argparse
+
+    from smmb_tpu.bench.report import Progress, plot_performance, to_csv
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--plot", default=None)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--bm", type=int, default=8192)
+    ap.add_argument("--max-m", type=int, default=None,
+                    help="skip cases with M beyond this (CI/CPU runs)")
+    ap.add_argument("--non-zeros", default=None,
+                    help="comma list overriding the 2,8,16 density grid")
+    args = ap.parse_args(argv)
+
+    nzs = (
+        [int(v) for v in args.non_zeros.split(",")]
+        if args.non_zeros
+        else ORIGINAL_NON_ZERO
+    )
+    cases = [
+        c for c in ORIGINAL_CASES if args.max_m is None or c[0] <= args.max_m
+    ]
+    prog = Progress(len(cases) * len(nzs), label="capacity")
+    results = []
+    for nz in nzs:
+        for m, k, n in cases:
+            results += run_capacity_case(
+                m, k, n, nz, bm=args.bm, reps=args.reps
+            )
+            prog.step()
+    print(hbm_stats(), file=sys.stderr, flush=True)
+    rows = [dataclasses.asdict(r) for r in results]
+    if args.csv:
+        to_csv(rows, args.csv)
+        print(f"wrote {args.csv}")
+    if args.plot:
+        out = plot_performance(
+            rows, args.plot,
+            title="smmb_tpu capacity sweep (original SparseGEMM grid)",
+        )
+        if out:
+            print(f"wrote {out}")
+    bad = [r for r in results if not r.valid]
+    if bad:
+        print(f"{len(bad)} INVALID rows", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -104,21 +104,35 @@ def plot_performance(
         return None
 
     groups: dict[str, list[tuple]] = {}
+    any_floor = False
     for r in rows:
+        floor = bool(r.get("dispatch_bound", False))
+        any_floor = any_floor or floor
         groups.setdefault(str(r[group_key]), []).append(
-            (str(r[x_key]), float(r[y_key]))
+            (str(r[x_key]), float(r[y_key]), floor)
         )
     fig, ax = plt.subplots(figsize=(10, 5.5))
     for name, pts in groups.items():
-        ax.plot(
+        (line,) = ax.plot(
             [p[0] for p in pts],
             [p[1] for p in pts],
             marker="o",
             label=name,
         )
+        # dispatch-floor-dominated rows (< ~10 us): hollow markers — the
+        # fraction metric misreads as a loss there even when the kernel
+        # wins on absolute time (compare time_s instead)
+        fl = [p for p in pts if p[2]]
+        if fl:
+            ax.plot(
+                [p[0] for p in fl], [p[1] for p in fl], ls="none",
+                marker="o", mfc="white", mec=line.get_color(), ms=9,
+            )
     ax.axhline(peak, color="gray", ls="--", lw=1, label=f"peak = {peak}")
     ax.set_xlabel(x_key)
     ax.set_ylabel(y_key)
+    if any_floor:
+        title = title + "\n(hollow = dispatch-floor-dominated, <10 µs: compare time, not fraction)"
     ax.set_title(title)
     ax.grid(alpha=0.3)
     ax.legend()

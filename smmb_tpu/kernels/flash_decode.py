@@ -56,13 +56,41 @@ from smmb_tpu.kernels._compat import use_interpret
 
 _NEG = -1e30
 _LOG2E = 1.4426950408889634  # softmax runs in base 2 (see flash_attention)
+_VMEM_BUDGET = 14 << 20  # scoped VMEM is ~16 MB; leave headroom
+
+
+def _fixed_vmem_bytes(rows_all: int, hd: int, compute_itemsize: int) -> int:
+    """VMEM bytes that do NOT shrink with the cache tile: the q block, the
+    output block, and the three f32 online-softmax scratch buffers — all
+    (rows_all, ·) where rows_all = H·nq grows with the chunk size."""
+    q_out = 2 * rows_all * hd * compute_itemsize
+    scratch = rows_all * (128 * 2 + hd) * 4
+    return q_out + scratch
+
+
+def flash_chunk_rows_ok(
+    c: int,
+    h: int,
+    hd: int,
+    kvd: int,
+    cache_itemsize: int,
+    compute_itemsize: int = 4,
+) -> bool:
+    """Can a C-token chunk's row-dependent buffers fit VMEM alongside the
+    minimum (256-row) double-buffered cache tile pair? The extend/verify
+    gate (models/attention.attention_extend_core) calls this so oversized
+    chunks fall back to the jnp path instead of OOMing the kernel
+    (ADVICE r4: the bs shrink alone cannot reduce rows_all)."""
+    return (
+        _fixed_vmem_bytes(h * c, hd, compute_itemsize)
+        + 4 * 256 * kvd * cache_itemsize
+        <= _VMEM_BUDGET
+    )
 
 
 def _decode_kernel(
     pos_ref,
     q_ref,
-    k_ref,
-    v_ref,
     *rest,
     ns: int,
     window: int | None,
@@ -99,9 +127,12 @@ def _decode_kernel(
     scripts/bench_spec_win.py).
     """
     if quant:
-        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+        # merged int8 cache: ONE code buffer with per-head [k|v] lane
+        # interleave and ONE (2·KVH, bs) scale tile (models/attention.
+        # init_kv_cache round-5 layout) — one contiguous DMA per grid step
+        kv_ref, sc_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
-        o_ref, m_ref, l_ref, acc_ref = rest
+        k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = rest
     s = pl.program_id(1)
     pos = pos_ref[0]
     rows = nq * g  # per-head row block
@@ -116,7 +147,10 @@ def _decode_kernel(
         lo, hi_end = hi * rows, (hi + 1) * rows
         q = q_ref[0, lo:hi_end]  # (nq·G, hd) — static sublane slice
         # static lane slice of the contiguous (bs, KVH·hd) tile
-        k = k_ref[0][:, hi * hd : (hi + 1) * hd]  # (bs, hd)
+        if quant:
+            k = kv_ref[0][:, (2 * hi) * hd : (2 * hi + 1) * hd]  # (bs, hd)
+        else:
+            k = k_ref[0][:, hi * hd : (hi + 1) * hd]  # (bs, hd)
         if k.dtype != compute_dtype:  # int8 codes or mixed-precision cache
             k = k.astype(compute_dtype)
         # (nq·G, bs); the wrapper pre-folds sm_scale*log2(e) into q and the
@@ -131,8 +165,8 @@ def _decode_kernel(
         if quant:
             # per-token absmax scale, lane-aligned: (1, bs) broadcast.
             # Linear in the score, so it commutes with the log2e factor
-            # already folded into q.
-            scores = scores * ks_ref[0, hi][None, :]
+            # already folded into q. k scales sit at interleave row 2·hi.
+            scores = scores * sc_ref[0, 2 * hi][None, :]
         if masked:
             col = s * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1
@@ -159,9 +193,11 @@ def _decode_kernel(
             (rows, l_ref.shape[1]),
         )
         m_ref[lo:hi_end] = jnp.broadcast_to(m_new, (rows, m_ref.shape[1]))
-        v = v_ref[0][:, hi * hd : (hi + 1) * hd]  # (bs, hd)
         if quant:
-            p = p * vs_ref[0, hi][None, :]
+            v = kv_ref[0][:, (2 * hi + 1) * hd : (2 * hi + 2) * hd]
+            p = p * sc_ref[0, 2 * hi + 1][None, :]
+        else:
+            v = v_ref[0][:, hi * hd : (hi + 1) * hd]  # (bs, hd)
         if v.dtype != compute_dtype:
             v = v.astype(compute_dtype)
         acc_ref[lo:hi_end] = acc_ref[lo:hi_end] * rescale + jnp.dot(
@@ -207,14 +243,13 @@ def _decode_kernel(
 
 def _flash_cache_attention(
     q4: jax.Array,  # (B, nq, H, hd) — nq chunk tokens at pos..pos+nq-1
-    kc: jax.Array,
-    vc: jax.Array,
+    kc: jax.Array,  # float (B, S, KVH·hd), or merged int8 (B, S, 2·KVH·hd)
+    vc,  # float (B, S, KVH·hd); None in merged-quant mode
+    kv_scale,  # (B, 2·KVH, S) f32 interleaved scales; None in float mode
     pos: jax.Array,
-    k_scale,
-    v_scale,
     window,
     sm_scale,
-    block_kv,
+    block_kv,  # None = auto tile sizing (≥1 MB per grid step)
     interpret,
     precision,
     compute_dtype,
@@ -227,21 +262,35 @@ def _flash_cache_attention(
     softmax accumulation, so per-row results are bitwise independent of
     the other rows in the chunk (speculative decoding's losslessness
     contract, models/spec_decode.py).
+
+    Quantized caches arrive MERGED (round 5): one int8 code buffer with
+    per-head [k|v] lane interleave plus one (B, 2·KVH, S) scale buffer —
+    one contiguous cache DMA per grid step instead of two, and the serving
+    scan carries 2 cache buffers instead of 4 (models/attention.
+    init_kv_cache rationale; VERDICT r4 #1).
     """
     b, nq, h, hd = q4.shape
-    bk, s_len, kvd = kc.shape
-    if bk != b or vc.shape != kc.shape:
-        raise ValueError(f"q {q4.shape} vs kc {kc.shape} vs vc {vc.shape}")
+    quant = kv_scale is not None
+    bk, s_len, width = kc.shape
+    if bk != b or (not quant and vc.shape != kc.shape):
+        raise ValueError(f"q {q4.shape} vs kc {kc.shape}")
     if hd % 128:
         raise ValueError(f"head_dim {hd} % 128 != 0 — use the jnp path")
-    if kvd % hd:
-        raise ValueError(f"cache width {kvd} not a multiple of head_dim {hd}")
-    kvh = kvd // hd
-    if h % kvh:
+    if width % hd:
+        raise ValueError(f"cache width {width} not a multiple of hd {hd}")
+    kvh = width // (2 * hd) if quant else width // hd
+    if kvh < 1 or h % kvh:
         raise ValueError(f"H {h} % KVH {kvh} != 0")
-    quant = k_scale is not None
-    if quant != (v_scale is not None) or quant != (kc.dtype == jnp.int8):
-        raise ValueError("int8 cache requires both k_scale and v_scale")
+    if quant:
+        if vc is not None or kc.dtype != jnp.int8:
+            raise ValueError(
+                "merged-quant mode takes int8 codes and no separate v"
+            )
+        if kv_scale.shape != (b, 2 * kvh, s_len):
+            raise ValueError(
+                f"kv_scale must be (B, 2·KVH, S)=({b}, {2 * kvh}, {s_len}) "
+                f"as stored by init_kv_cache, got {kv_scale.shape}"
+            )
     if compute_dtype is not None and not jnp.issubdtype(
         jnp.dtype(compute_dtype), jnp.floating
     ):
@@ -260,14 +309,48 @@ def _flash_cache_attention(
         compute_dtype
     )
 
+    rows_all = kvh * nq * g  # rows ordered (kv_head, token, group)
+    auto_bs = block_kv is None
+    if auto_bs:
+        block_kv = 1024
     bs = min(block_kv, s_len)
     # all-heads tiles are (bs, KVH·hd): shrink bs so the double-buffered
     # k+v pair (4 tiles) + q/out/scratch stay inside the ~16 MB scoped
-    # VMEM limit (f32 kvd=1024 at bs=1024 OOMed at exactly 16.06 MB)
-    while bs > 256 and bs * kvd * jnp.dtype(kc.dtype).itemsize > 2 << 20:
+    # VMEM limit (f32 kvd=1024 at bs=1024 OOMed at exactly 16.06 MB). The
+    # q/out/scratch side is (rows_all, ·) — FIXED in bs — so it joins the
+    # budget as a constant and, when it alone exceeds the budget, the call
+    # refuses (the chunk gate in models/attention keeps callers off this
+    # path; ADVICE r4).
+    ci = jnp.dtype(compute_dtype).itemsize
+    fixed = _fixed_vmem_bytes(rows_all, hd, ci)
+    kv_item = jnp.dtype(kc.dtype).itemsize
+    # cache bytes streamed per grid step: 2 float buffers, or 1 merged
+    # int8 buffer of double width — identical totals either way
+    per_row = width * kv_item * (1 if quant else 2)
+    # auto tile sizing: narrow caches (small KVH·hd, or int8's halved
+    # bytes) leave a 1024-row tile streaming well under 1 MB per grid
+    # step — grid overhead then dominates the read (measured r5, GQA/2
+    # int8 ctx8k: 10.4 µs at bs=1024 vs 8.9 at 2048; ctx16k 18.8 → 15.1).
+    # Grow the tile until each step moves ≥ 1 MB (VMEM budget permitting).
+    if auto_bs:
+        while (
+            bs < s_len
+            and bs * per_row < 1 << 20
+            and 4 * bs * per_row + fixed <= _VMEM_BUDGET
+        ):
+            bs *= 2
+    while bs > 256 and (
+        bs * per_row > 4 << 20
+        or 2 * bs * per_row + fixed > _VMEM_BUDGET
+    ):
         bs //= 2
+    if 2 * bs * per_row + fixed > _VMEM_BUDGET:
+        raise ValueError(
+            f"chunk rows {rows_all} (C={nq}, H={kvh * g}) need "
+            f"{fixed >> 20} MiB of VMEM scratch — too large for the flash "
+            "cache kernel; use the jnp chunk path"
+        )
     ns = pl.cdiv(s_len, bs)
-    rows_all = kvh * nq * g  # rows ordered (kv_head, token, group)
     qg = (
         q4.reshape(b, nq, kvh, g, hd)
         .transpose(0, 2, 1, 3, 4)
@@ -299,11 +382,12 @@ def _flash_cache_attention(
         return jnp.clip(si, lo, top)
 
     def kv_index(bi, si, pos_arg):
-        # one contiguous (bs, KVH·hd) row-range of the flat cache — all
-        # heads arrive in one DMA; the kernel lane-slices per head
+        # one contiguous row-range of the flat cache — all heads (and in
+        # merged mode both planes) arrive in one DMA; the kernel
+        # lane-slices per head
         return (bi, s_clamp(si, pos_arg), 0)
 
-    kv_spec = pl.BlockSpec((1, bs, kvd), kv_index, memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, bs, width), kv_index, memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(
             (1, rows_all, hd),
@@ -311,25 +395,20 @@ def _flash_cache_attention(
             memory_space=pltpu.VMEM,
         ),
         kv_spec,
-        kv_spec,
     ]
-    inputs = [qg, kc, vc]  # flat caches pass through untouched
+    inputs = [qg, kc]  # flat caches pass through untouched
     if quant:
-        if k_scale.shape != (b, kvh, s_len) or v_scale.shape != k_scale.shape:
-            raise ValueError(
-                f"scales must be (B, KVH, S)=({b}, {kvh}, {s_len}) as stored "
-                f"by init_kv_cache, got {k_scale.shape}/{v_scale.shape}"
-            )
-
-        # all heads' scale rows for the tile: (1, KVH, bs), free view
+        # all heads' interleaved scale rows for the tile: (1, 2·KVH, bs)
         def sc_index(bi, si, pos_arg):
             return (bi, 0, s_clamp(si, pos_arg))
 
-        sc_spec = pl.BlockSpec(
-            (1, kvh, bs), sc_index, memory_space=pltpu.VMEM
+        in_specs.append(
+            pl.BlockSpec((1, 2 * kvh, bs), sc_index, memory_space=pltpu.VMEM)
         )
-        in_specs += [sc_spec, sc_spec]
-        inputs += [k_scale, v_scale]
+        inputs.append(kv_scale)
+    else:
+        in_specs.append(kv_spec)
+        inputs.append(vc)
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel,
@@ -373,29 +452,28 @@ def _flash_cache_attention(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "window", "sm_scale", "block_kv", "interpret", "precision",
-        "compute_dtype",
-    ),
+_FLASH_STATICS = (
+    "window", "sm_scale", "block_kv", "interpret", "precision",
+    "compute_dtype",
 )
+
+
+@functools.partial(jax.jit, static_argnames=_FLASH_STATICS)
 def flash_attention_decode(
     q: jax.Array,
     kc: jax.Array,
     vc: jax.Array,
     pos: jax.Array,
     *,
-    k_scale: jax.Array | None = None,
-    v_scale: jax.Array | None = None,
     window: int | None = None,
     sm_scale: float | None = None,
-    block_kv: int = 1024,
+    block_kv: int | None = None,
     interpret: bool | None = None,
     precision=None,
     compute_dtype=None,
 ) -> jax.Array:
-    """One-token attention over a static-length cache, O(pos) HBM traffic.
+    """One-token attention over a static-length float cache, O(pos) HBM
+    traffic. (int8 caches go through ``flash_attention_decode_quant``.)
 
     Args:
       q: (B, H, hd) — the current token's queries. Head ``h`` attends
@@ -403,56 +481,70 @@ def flash_attention_decode(
         as models/attention._chunk_attention_math).
       kc, vc: (B, S, KVH·hd) FLAT cache buffers — the serving layout
         (models/attention.init_kv_cache), read in place, never reshaped.
-        bf16/f32, or int8 codes with ``k_scale``/``v_scale``. KVH is
-        inferred as ``kc.shape[-1] // hd``.
+        KVH is inferred as ``kc.shape[-1] // hd``.
       pos: () or (1,) int32 — the query's own position; cache columns
         ≤ pos are live (the just-written own token included).
-      k_scale, v_scale: (B, KVH, S) f32 per-token absmax scales (the
-        cache's ``k_scale``/``v_scale`` entries as stored —
-        models/attention.init_kv_cache keeps them pre-transposed so the
-        kernel's lane-aligned reads need no per-call materialized
-        transpose; the reshape to (B·KVH, 1, S) in the impl is a free
-        view).
       window: sliding window — live columns are (pos−window, pos].
       compute_dtype: dtype of the in-kernel dots (cache tiles convert in
-        VMEM — HBM traffic stays at the stored dtype). Default: q's dtype
-        for an int8 cache, the cache dtype otherwise. The serving layer
-        passes its compute_dtype so an f32-embedded LM still runs bf16
-        dots (without this the int8 path silently ran f32 HIGHEST —
-        measured 2× kernel time inside the LM, docs/PROFILE.md).
+        VMEM — HBM traffic stays at the stored dtype). Default: the cache
+        dtype. The serving layer passes its compute_dtype so an
+        f32-embedded LM still runs bf16 dots (without this the int8 path
+        silently ran f32 HIGHEST — measured 2× kernel time inside the LM,
+        docs/PROFILE.md).
     Returns:
       (B, H, hd) in the compute dtype.
     """
     out = _flash_cache_attention(
-        q[:, None], kc, vc, pos, k_scale, v_scale, window, sm_scale,
+        q[:, None], kc, vc, None, pos, window, sm_scale,
         block_kv, interpret, precision, compute_dtype,
     )
     return out[:, 0]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "window", "sm_scale", "block_kv", "interpret", "precision",
-        "compute_dtype",
-    ),
-)
+@functools.partial(jax.jit, static_argnames=_FLASH_STATICS)
+def flash_attention_decode_quant(
+    q: jax.Array,
+    kv: jax.Array,
+    kv_scale: jax.Array,
+    pos: jax.Array,
+    *,
+    window: int | None = None,
+    sm_scale: float | None = None,
+    block_kv: int | None = None,
+    interpret: bool | None = None,
+    precision=None,
+    compute_dtype=None,
+) -> jax.Array:
+    """``flash_attention_decode`` over the MERGED int8 cache layout:
+    ``kv`` (B, S, 2·KVH·hd) codes with per-head [k|v] lane interleave and
+    ``kv_scale`` (B, 2·KVH, S) f32 interleaved absmax scales, exactly as
+    ``models/attention.init_kv_cache(quantized=True)`` stores them. The
+    codes dequantize in VMEM (HBM reads stay int8); one contiguous cache
+    DMA per tile. Default compute_dtype is q's dtype. Returns (B, H, hd).
+    """
+    out = _flash_cache_attention(
+        q[:, None], kv, None, kv_scale, pos, window, sm_scale,
+        block_kv, interpret, precision, compute_dtype,
+    )
+    return out[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=_FLASH_STATICS)
 def flash_attention_chunk(
     q: jax.Array,
     kc: jax.Array,
     vc: jax.Array,
     pos: jax.Array,
     *,
-    k_scale: jax.Array | None = None,
-    v_scale: jax.Array | None = None,
     window: int | None = None,
     sm_scale: float | None = None,
-    block_kv: int = 1024,
+    block_kv: int | None = None,
     interpret: bool | None = None,
     precision=None,
     compute_dtype=None,
 ) -> jax.Array:
-    """C-token chunk attention over a static-length cache (extend/verify).
+    """C-token chunk attention over a static-length float cache
+    (extend/verify).
 
     q: (B, C, H, hd) — C chunk tokens already written to the cache at
     positions pos..pos+C-1; row c attends cache columns ≤ pos + c
@@ -460,11 +552,32 @@ def flash_attention_chunk(
     ``flash_attention_decode`` (its C=1 case), so a token's row is
     bitwise identical whether it is decoded alone or inside a verify
     chunk — the property greedy speculative decoding's exactness rests
-    on (models/spec_decode.py). Scales/caches as in
-    ``flash_attention_decode``. Returns (B, C, H, hd) in the compute
+    on (models/spec_decode.py). Returns (B, C, H, hd) in the compute
     dtype.
     """
     return _flash_cache_attention(
-        q, kc, vc, pos, k_scale, v_scale, window, sm_scale,
+        q, kc, vc, None, pos, window, sm_scale,
+        block_kv, interpret, precision, compute_dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=_FLASH_STATICS)
+def flash_attention_chunk_quant(
+    q: jax.Array,
+    kv: jax.Array,
+    kv_scale: jax.Array,
+    pos: jax.Array,
+    *,
+    window: int | None = None,
+    sm_scale: float | None = None,
+    block_kv: int | None = None,
+    interpret: bool | None = None,
+    precision=None,
+    compute_dtype=None,
+) -> jax.Array:
+    """``flash_attention_chunk`` over the merged int8 cache layout (see
+    ``flash_attention_decode_quant``). Returns (B, C, H, hd)."""
+    return _flash_cache_attention(
+        q, kv, None, kv_scale, pos, window, sm_scale,
         block_kv, interpret, precision, compute_dtype,
     )

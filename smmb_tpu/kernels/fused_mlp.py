@@ -368,6 +368,171 @@ def fused_norm_qkv(
     return out[:m] if mp != m else out
 
 
+def _norm_qkv_quant_kernel(
+    x_ref,
+    g_ref,
+    w_ref,
+    sc_ref,
+    b_ref,
+    oq_ref,
+    okv_ref,
+    osc_ref,
+    *,
+    eps: float,
+    d: int,
+    kvh: int,
+    hd: int,
+    compute_dtype,
+    precision,
+):
+    """Single grid step: rmsnorm + full QKV dot + int8 K/V quantization in
+    the epilogue. The whole packed plane is VMEM-resident (the caller
+    gates on its size), so every head's full hd span is visible for the
+    per-row absmax."""
+    x = x_ref[:].astype(jnp.float32)
+    ms = jnp.sum(x * x, axis=-1, keepdims=True) / d
+    h = (x * jax.lax.rsqrt(ms + eps) * g_ref[:].astype(jnp.float32)).astype(
+        compute_dtype
+    )
+    acc = _decode_dot(
+        h,
+        w_ref,
+        jnp.zeros((x_ref.shape[0], w_ref.shape[1]), jnp.float32),
+        compute_dtype,
+        precision,
+    )
+    y = acc * sc_ref[:] + b_ref[:].astype(jnp.float32)  # (M, d + 2·kvd)
+    oq_ref[:] = y[:, :d].astype(oq_ref.dtype)
+    kvd = kvh * hd
+    # per-(row, head) absmax quantization, identical math to
+    # models/attention._quantize_kv; output codes interleave [k_h | v_h]
+    # per head (the merged cache layout, init_kv_cache round 5)
+    scs = []
+    for hi in range(kvh):
+        for plane, base in ((0, d + hi * hd), (1, d + kvd + hi * hd)):
+            sl = y[:, base : base + hd]  # (M, hd) f32
+            scale = jnp.max(jnp.abs(sl), axis=-1, keepdims=True) / 127.0
+            safe = jnp.where(scale > 0, scale, 1.0)
+            codes = jnp.round(sl / safe).astype(jnp.int8)
+            slot = 2 * hi + plane
+            okv_ref[:, slot * hd : (slot + 1) * hd] = codes
+            scs.append(scale)
+    osc_ref[:] = jnp.concatenate(scs, axis=1)  # (M, 2·KVH) f32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "eps", "d_model", "kv_heads", "head_dim", "compute_dtype",
+        "interpret",
+    ),
+)
+def fused_norm_qkv_quant(
+    x: jax.Array,
+    norm_g: jax.Array,
+    wqkv: TernaryPacked,
+    qkv_scale: jax.Array,
+    bqkv: jax.Array,
+    *,
+    eps: float,
+    d_model: int,
+    kv_heads: int,
+    head_dim: int,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """``fused_norm_qkv`` + int8 K/V cache quantization in the SAME launch
+    (VERDICT r4 #1): the decode step writes quantized codes directly, with
+    no post-hoc quantize fusions between kernels.
+
+    Returns (q (M, d_model) in x.dtype, kv_codes (M, 2·kv_dim) int8 in the
+    per-head [k|v] interleave, kv_scales (M, 2·KVH) f32) — exactly the
+    shapes ``models/attention._cache_write_quantized`` consumes (after the
+    caller's lead-dim reshape). Per-row results are independent of the
+    other rows (MXU rows, per-row norm/absmax), preserving the spec-decode
+    row-identity contract through the quantized write.
+
+    Runs as ONE grid step with the whole packed plane resident in VMEM —
+    callers gate on ``d·N/4`` bytes (models/attention._qkv_quant_fusable).
+    """
+    if jnp.dtype(compute_dtype) not in (jnp.dtype(jnp.float32),
+                                        jnp.dtype(jnp.bfloat16)):
+        raise ValueError(
+            f"fused_norm_qkv_quant is float-only, got {compute_dtype}"
+        )
+    m, d = x.shape
+    kd, n = wqkv.shape
+    kvd = kv_heads * head_dim
+    if kd != d or d != d_model or norm_g.shape != (d,):
+        raise ValueError(f"x {x.shape} / wqkv {wqkv.shape} / g {norm_g.shape}")
+    if n != d + 2 * kvd:
+        raise ValueError(f"N={n} != d_model + 2·kv_dim = {d + 2 * kvd}")
+    if d % GROUP_ROWS or head_dim % 128:
+        raise ValueError(
+            f"D={d} % {GROUP_ROWS} or head_dim={head_dim} % 128 != 0"
+        )
+    if qkv_scale.shape != (n,) or bqkv.shape != (n,):
+        raise ValueError(f"bad scale/bias shapes for N={n}")
+
+    sub_min = 16 if compute_dtype == jnp.bfloat16 else 8
+    mp = round_up(m, sub_min)
+    xq = x if mp == m else jnp.pad(x, ((0, mp - m), (0, 0)))
+    g2 = norm_g.reshape(1, d)
+    sc = qkv_scale.astype(jnp.float32).reshape(1, n)
+    bq_ = bqkv.astype(jnp.float32).reshape(1, n)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    whole = lambda s: (0, 0)  # noqa: E731 — single-step grid, whole blocks
+    q_out, kv_out, sc_out = pl.pallas_call(
+        functools.partial(
+            _norm_qkv_quant_kernel,
+            eps=eps,
+            d=d,
+            kvh=kv_heads,
+            hd=head_dim,
+            compute_dtype=compute_dtype,
+            precision=precision,
+        ),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((mp, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (d // VALUES_PER_BYTE, n), whole, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, n), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), whole, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((mp, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, 2 * kvd), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, 2 * kv_heads), whole, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, d), x.dtype),
+            jax.ShapeDtypeStruct((mp, 2 * kvd), jnp.int8),
+            jax.ShapeDtypeStruct((mp, 2 * kv_heads), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * d * n,
+            bytes_accessed=mp * d * 4
+            + d * n // VALUES_PER_BYTE
+            + mp * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=use_interpret(interpret),
+    )(xq, g2, wqkv.data, sc, bq_)
+    if mp != m:
+        q_out, kv_out, sc_out = q_out[:m], kv_out[:m], sc_out[:m]
+    return q_out, kv_out, sc_out
+
+
 def _tail_kernel(
     att_ref,
     x_ref,

@@ -300,7 +300,7 @@ def init_kv_cache(
     the cache holds only ``kv_heads`` heads — group-factor smaller.
 
     ``quantized=True`` stores int8 codes with a per-token-per-head f32
-    absmax scale (``k_scale``/``v_scale``) — 4×/2× less decode read
+    absmax scale (the merged ``kv``/``kv_scale`` buffers) — 4×/2× less decode read
     traffic than f32/bf16, which is the long-context decode bottleneck.
     The saving is only realized through the flash-decode kernel
     (``use_flash=True`` decode), which dequantizes tiles in VMEM; the jnp
@@ -314,33 +314,46 @@ def init_kv_cache(
     masks them. Left padding keeps the write position uniform across rows
     (all rows end at the same buffer index), which is what lets one
     scalar ``pos`` serve a ragged batch."""
-    # FLAT storage (B, S, KVH·hd), per-token-per-head scales (B, S, KVH).
-    # The layout is load-bearing for the flash-decode kernel: a reshape of
-    # a scan-carried cache feeding a custom call materializes a cache-sized
-    # copy every step, and a 4D cache cannot be head-blocked under
-    # Mosaic's block rules (kernels/flash_decode.py design notes). jnp
-    # paths view it back to heads via _cache_kv — XLA fuses that reshape
-    # into the attention einsums for free.
-    shape = (batch, max_len, cfg.kv_heads * cfg.head_dim)
-    # build the int8 buffers directly — allocating f32 first and replacing
-    # would spike transient HBM 4x at exactly the sizes kv-quant targets
-    kv_dtype = jnp.int8 if quantized else dtype
-    cache = {
-        "k": jnp.zeros(shape, kv_dtype),
-        "v": jnp.zeros(shape, kv_dtype),
-        "pos": jnp.int32(0),
-    }
+    # FLAT storage (B, S, KVH·hd). The layout is load-bearing for the
+    # flash-decode kernel: a reshape of a scan-carried cache feeding a
+    # custom call materializes a cache-sized copy every step, and a 4D
+    # cache cannot be head-blocked under Mosaic's block rules
+    # (kernels/flash_decode.py design notes). jnp paths view it back to
+    # heads via _cache_kv — XLA fuses that reshape into the attention
+    # einsums for free.
     if quantized:
-        # scales live PRE-TRANSPOSED as (B, KVH, S): the flash-decode
-        # kernel wants its per-token scale rows lane-aligned per head, and
-        # a per-call (B, S, KVH)→(B, KVH, S) transpose is a sublane-strided
-        # materialized copy paid every layer every step (round-3 VERDICT
-        # #2's in-LM int8 overhead). Writes here are (B, KVH, 1)-shaped
-        # dynamic_update_slices; the jnp fallback view transposes back in
-        # _cache_kv (that path materializes a dequantized cache anyway).
-        sshape = (batch, cfg.kv_heads, max_len)
-        cache["k_scale"] = jnp.zeros(sshape, jnp.float32)
-        cache["v_scale"] = jnp.zeros(sshape, jnp.float32)
+        # MERGED quantized layout (round 5, VERDICT r4 #1): ONE ``kv``
+        # code buffer (B, S, 2·KVH·hd) int8 with k/v INTERLEAVED per head
+        # ([k_h0 | v_h0 | k_h1 | v_h1 | …] on the lane axis) and ONE
+        # ``kv_scale`` buffer (B, 2·KVH, S) with the matching row
+        # interleave. Rationale: round 4 traced the int8 cache's residual
+        # 6-9 µs/layer end-to-end overhead to DISTRIBUTED step cost — 2
+        # extra dynamic_update_slices and 2 extra scan carries vs bf16
+        # (docs/ROADMAP.md). Merging k+v codes and packing both scale
+        # planes brings the int8 step to bf16's plumbing shape: 2 dus and
+        # 3 carried buffers. The per-head interleave (not [all-k | all-v])
+        # keeps each head's k/v pair contiguous so TP's head sharding
+        # still splits the lane axis on head-pair boundaries. Scales live
+        # PRE-TRANSPOSED as (B, 2·KVH, S): the flash kernel wants its
+        # per-token scale rows lane-aligned per head, and a per-call
+        # transpose is a materialized copy paid every layer every step
+        # (round-3 VERDICT #2).
+        cache = {
+            "kv": jnp.zeros(
+                (batch, max_len, 2 * cfg.kv_heads * cfg.head_dim), jnp.int8
+            ),
+            "kv_scale": jnp.zeros(
+                (batch, 2 * cfg.kv_heads, max_len), jnp.float32
+            ),
+            "pos": jnp.int32(0),
+        }
+    else:
+        shape = (batch, max_len, cfg.kv_heads * cfg.head_dim)
+        cache = {
+            "k": jnp.zeros(shape, dtype),
+            "v": jnp.zeros(shape, dtype),
+            "pos": jnp.int32(0),
+        }
     if ragged:
         cache["valid"] = jnp.zeros((batch, max_len), bool)
     return cache
@@ -356,43 +369,58 @@ def _quantize_kv(x):
     return codes, scale.astype(jnp.float32)
 
 
+def _cache_write_quantized(cache: dict, kv_codes, kv_scales, pos, valid=None) -> dict:
+    """Append pre-quantized codes/scales to a merged int8 cache: kv_codes
+    (B, C, 2·KVH·hd) int8 in the per-head [k|v] interleave, kv_scales
+    (B, 2·KVH, C) f32. This is the whole int8 write — 2 dus, matching the
+    bf16 path's plumbing (VERDICT r4 #1). The fused norm+QKV epilogue
+    (kernels/fused_mlp.fused_norm_qkv_quant) emits these directly."""
+    out = dict(cache)
+    b, c = kv_codes.shape[:2]
+    if "valid" in cache:
+        if valid is None:
+            valid = jnp.ones((b, c), bool)
+        out["valid"] = jax.lax.dynamic_update_slice(
+            cache["valid"], valid, (0, pos)
+        )
+    out["kv"] = jax.lax.dynamic_update_slice(
+        cache["kv"], kv_codes.astype(jnp.int8), (0, pos, 0)
+    )
+    out["kv_scale"] = jax.lax.dynamic_update_slice(
+        cache["kv_scale"], kv_scales.astype(jnp.float32), (0, 0, pos)
+    )
+    out["pos"] = pos + c
+    return out
+
+
 def _cache_write(cache: dict, k, v, pos, valid=None) -> dict:
     """Append (B, C, KVH, hd) k/v at ``pos`` (quantizing if the cache is
     int8) and advance ``pos`` by C. ``valid`` (B, C) marks real tokens for
     ragged caches (defaults to all-real, e.g. decode appends)."""
+    b, c = k.shape[:2]
+    if "kv" in cache:
+        # post-hoc quantize fallback (prefill, rope, unfused paths): build
+        # the per-head interleave and write via the merged 2-dus path
+        kq, ks = _quantize_kv(k)
+        vq, vs = _quantize_kv(v)
+        codes = jnp.stack([kq, vq], axis=3).reshape(b, c, -1)
+        scales = (
+            jnp.stack([ks[..., 0], vs[..., 0]], axis=3)
+            .reshape(b, c, -1)
+            .transpose(0, 2, 1)
+        )
+        return _cache_write_quantized(cache, codes, scales, pos, valid=valid)
     out = dict(cache)
     if "valid" in cache:
         if valid is None:
-            valid = jnp.ones((k.shape[0], k.shape[1]), bool)
+            valid = jnp.ones((b, c), bool)
         out["valid"] = jax.lax.dynamic_update_slice(
             cache["valid"], valid, (0, pos)
         )
-    b, c = k.shape[:2]
-    if "k_scale" in cache:
-        # NOTE a one-launch fused quantize+append pallas kernel exists
-        # (kernels/cache_append.py, bitwise-code parity verified on chip)
-        # but is NOT routed: replacing the 2 quantize fusions + 4
-        # dynamic_update_slices below with it measured SLOWER end-to-end
-        # (int8 GQA2 ctx16k 129.3 vs 121.6 us/tok, round 4) — the dus
-        # write path is ~free in the serving scan, which exonerates it as
-        # the source of the int8 GQA overhead (docs/ROADMAP.md).
-        kq, ks = _quantize_kv(k)
-        vq, vs = _quantize_kv(v)
-        for name, val, at in (
-            ("k", kq.reshape(b, c, -1), (0, pos, 0)),
-            ("v", vq.reshape(b, c, -1), (0, pos, 0)),
-            # scales store (B, KVH, S) — see init_kv_cache
-            ("k_scale", ks[..., 0].transpose(0, 2, 1), (0, 0, pos)),
-            ("v_scale", vs[..., 0].transpose(0, 2, 1), (0, 0, pos)),
-        ):
-            out[name] = jax.lax.dynamic_update_slice(
-                cache[name], val.astype(cache[name].dtype), at
-            )
-    else:
-        for name, val in (("k", k.reshape(b, c, -1)), ("v", v.reshape(b, c, -1))):
-            out[name] = jax.lax.dynamic_update_slice(
-                cache[name], val.astype(cache[name].dtype), (0, pos, 0)
-            )
+    for name, val in (("k", k.reshape(b, c, -1)), ("v", v.reshape(b, c, -1))):
+        out[name] = jax.lax.dynamic_update_slice(
+            cache[name], val.astype(cache[name].dtype), (0, pos, 0)
+        )
     out["pos"] = pos + k.shape[1]
     return out
 
@@ -403,19 +431,27 @@ def _cache_kv(cache: dict, kv_heads: int):
     view if int8 — note the dequant multiply does NOT fuse into a dot and
     materializes, which is why the serving decode path prefers the
     flash-decode kernel)."""
+    if "kv" in cache:
+        # merged interleaved layout (init_kv_cache): un-interleave views
+        b, s, kvd2 = cache["kv"].shape
+        hd = kvd2 // (2 * kv_heads)
+        kv = cache["kv"].reshape(b, s, kv_heads, 2, hd).astype(jnp.float32)
+        sc = cache["kv_scale"].reshape(b, kv_heads, 2, s)
+        ksc = sc[:, :, 0].transpose(0, 2, 1)[..., None]  # (B, S, KVH, 1)
+        vsc = sc[:, :, 1].transpose(0, 2, 1)[..., None]
+        return kv[:, :, :, 0] * ksc, kv[:, :, :, 1] * vsc
     b, s, kvd = cache["k"].shape
     hd = kvd // kv_heads
     kc = cache["k"].reshape(b, s, kv_heads, hd)
     vc = cache["v"].reshape(b, s, kv_heads, hd)
-    if "k_scale" in cache:
-        # (B, KVH, S) stored → (B, S, KVH, 1) broadcast view
-        return (
-            kc.astype(jnp.float32)
-            * cache["k_scale"].transpose(0, 2, 1)[..., None],
-            vc.astype(jnp.float32)
-            * cache["v_scale"].transpose(0, 2, 1)[..., None],
-        )
     return kc, vc
+
+
+def _cache_code_bytes(cache: dict) -> int:
+    """Total k+v code bytes in the cache (the flash-gate size signal)."""
+    if "kv" in cache:
+        return cache["kv"].size
+    return 2 * cache["k"].size * cache["k"].dtype.itemsize
 
 
 def _split_heads(x, cfg: TernaryAttentionConfig, heads: int | None = None):
@@ -630,6 +666,53 @@ def _proj_qkv_prenorm(packed, x, cfg, prenorm, compute_dtype):
     return y[..., :d], y[..., d : d + kvd], y[..., d + kvd :]
 
 
+def _qkv_quant_fusable(packed, cfg, compute_dtype, use_kernel):
+    """Can the int8 cache write ride the fused norm+QKV kernel's epilogue
+    (kernels/fused_mlp.fused_norm_qkv_quant)? Beyond _qkv_prenorm_fusable:
+    no rope (cached keys must be roped BEFORE quantization, which the
+    epilogue can't do), lane-aligned heads, and the whole weight plane
+    resident in one VMEM grid step (the kernel is single-step so the
+    epilogue sees every head's full hd span)."""
+    if not _qkv_prenorm_fusable(packed, cfg, compute_dtype, use_kernel):
+        return False
+    n = packed["wqkv"].cols
+    return (
+        not cfg.rope
+        and cfg.head_dim % 128 == 0
+        # packed plane bytes (d·N/4) + f32 y block ≤ a conservative VMEM cap
+        and cfg.d_model * n // 4 <= 6 << 20
+    )
+
+
+def _proj_qkv_prenorm_quant(packed, x, cfg, prenorm, compute_dtype):
+    """norm1 + fused QKV + in-epilogue K/V int8 quantization, ONE launch.
+
+    Returns (q (B…, D) float, kv_codes (rows, 2·kv_dim) int8 in the
+    per-head [k|v] interleave, kv_scales (B…, 2·KVH, [C]) f32) shaped for
+    ``_cache_write_quantized``. Rows are x's leading dims flattened."""
+    from smmb_tpu.kernels.fused_mlp import fused_norm_qkv_quant
+
+    lead = x.shape[:-1]
+    q, codes, scales = fused_norm_qkv_quant(
+        x.reshape(-1, x.shape[-1]),
+        prenorm[0],
+        packed["wqkv"],
+        packed["qkv_scale"],
+        packed["bqkv"],
+        eps=prenorm[1],
+        d_model=cfg.d_model,
+        kv_heads=cfg.kv_heads,
+        head_dim=cfg.head_dim,
+        compute_dtype=compute_dtype,
+    )
+    q = q.reshape(*lead, -1)
+    if len(lead) == 2:  # extend chunk: (B, C, ·) rows
+        b, c = lead
+        codes = codes.reshape(b, c, -1)
+        scales = scales.reshape(b, c, -1).transpose(0, 2, 1)  # (B, 2KVH, C)
+    return q, codes, scales
+
+
 def attention_decode_core(
     packed: dict,
     x_t: jax.Array,
@@ -656,20 +739,36 @@ def attention_decode_core(
     if one != 1:
         raise ValueError(f"decode step takes one token, got T={one}")
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
-    if prenorm is not None:
-        qf, kf, vf = _proj_qkv_prenorm(packed, x_t, cfg, prenorm, compute_dtype)
-    else:
-        qf, kf, vf = _proj_qkv(packed, x_t, cfg, **kw)  # one fused weight pass
-    q = _split_heads(qf, cfg)  # (B,1,H,hd)
-    k = _split_heads(kf, cfg, cfg.kv_heads)
-    v = _split_heads(vf, cfg, cfg.kv_heads)
+    quant = "kv" in cache
     pos = cache["pos"]
-    if cfg.rope:
-        q = apply_rope(q, pos + jnp.arange(1), cfg.rope_theta)
-        k = apply_rope(k, pos + jnp.arange(1), cfg.rope_theta)
-    cache = _cache_write(cache, k, v, pos)
-    quant = "k_scale" in cache
-    cache_bytes = 2 * cache["k"].size * cache["k"].dtype.itemsize
+    if (
+        prenorm is not None
+        and quant
+        and _qkv_quant_fusable(packed, cfg, compute_dtype, use_kernel)
+    ):
+        # int8 cache fast path: the fused norm+QKV kernel quantizes K/V in
+        # its epilogue and the step writes the codes directly — no
+        # post-hoc quantize fusions at all (VERDICT r4 #1)
+        qf, codes, scales = _proj_qkv_prenorm_quant(
+            packed, x_t, cfg, prenorm, compute_dtype
+        )
+        q = _split_heads(qf, cfg)  # codes (B,1,2kvd); scales (B,2KVH,1)
+        cache = _cache_write_quantized(cache, codes, scales, pos)
+    else:
+        if prenorm is not None:
+            qf, kf, vf = _proj_qkv_prenorm(
+                packed, x_t, cfg, prenorm, compute_dtype
+            )
+        else:
+            qf, kf, vf = _proj_qkv(packed, x_t, cfg, **kw)  # one weight pass
+        q = _split_heads(qf, cfg)  # (B,1,H,hd)
+        k = _split_heads(kf, cfg, cfg.kv_heads)
+        v = _split_heads(vf, cfg, cfg.kv_heads)
+        if cfg.rope:
+            q = apply_rope(q, pos + jnp.arange(1), cfg.rope_theta)
+            k = apply_rope(k, pos + jnp.arange(1), cfg.rope_theta)
+        cache = _cache_write(cache, k, v, pos)
+    cache_bytes = _cache_code_bytes(cache)
     if (
         use_flash
         and cache.get("valid") is None
@@ -683,18 +782,24 @@ def attention_decode_core(
             )
         )
     ):
-        from smmb_tpu.kernels.flash_decode import flash_attention_decode
-        out = flash_attention_decode(
-            q[:, 0],
-            cache["k"],
-            cache["v"],
-            pos,
-            k_scale=cache["k_scale"] if quant else None,
-            v_scale=cache["v_scale"] if quant else None,
-            window=cfg.window,
-            precision=precision,
-            compute_dtype=compute_dtype,
-        ).reshape(b, 1, -1)
+        if quant:
+            from smmb_tpu.kernels.flash_decode import (
+                flash_attention_decode_quant,
+            )
+
+            out = flash_attention_decode_quant(
+                q[:, 0], cache["kv"], cache["kv_scale"], pos,
+                window=cfg.window, precision=precision,
+                compute_dtype=compute_dtype,
+            ).reshape(b, 1, -1)
+        else:
+            from smmb_tpu.kernels.flash_decode import flash_attention_decode
+
+            out = flash_attention_decode(
+                q[:, 0], cache["k"], cache["v"], pos,
+                window=cfg.window, precision=precision,
+                compute_dtype=compute_dtype,
+            ).reshape(b, 1, -1)
     else:
         kc, vc = _cache_kv(cache, cfg.kv_heads)
         out = _decode_attention_math(
@@ -759,38 +864,68 @@ def attention_extend_core(
     cache."""
     b, c, d = x.shape
     kw = dict(compute_dtype=compute_dtype, use_kernel=use_kernel)
-    if prenorm is not None:
-        qf, kf, vf = _proj_qkv_prenorm(packed, x, cfg, prenorm, compute_dtype)
-    else:
-        qf, kf, vf = _proj_qkv(packed, x, cfg, **kw)  # one fused weight pass
-    q = _split_heads(qf, cfg)  # (B,C,H,hd)
-    k = _split_heads(kf, cfg, cfg.kv_heads)
-    v = _split_heads(vf, cfg, cfg.kv_heads)
+    quant = "kv" in cache
     pos = cache["pos"]
-    if cfg.rope:
-        chunk_pos = pos + jnp.arange(c)
-        q = apply_rope(q, chunk_pos, cfg.rope_theta)
-        k = apply_rope(k, chunk_pos, cfg.rope_theta)
-    cache = _cache_write(cache, k, v, pos)
+    if (
+        prenorm is not None
+        and quant
+        and _qkv_quant_fusable(packed, cfg, compute_dtype, use_kernel)
+    ):
+        # same epilogue-quantized write as the decode step (row-identical
+        # per token — the spec-decode contract holds through it)
+        qf, codes, scales = _proj_qkv_prenorm_quant(
+            packed, x, cfg, prenorm, compute_dtype
+        )
+        q = _split_heads(qf, cfg)
+        cache = _cache_write_quantized(cache, codes, scales, pos)
+    else:
+        if prenorm is not None:
+            qf, kf, vf = _proj_qkv_prenorm(
+                packed, x, cfg, prenorm, compute_dtype
+            )
+        else:
+            qf, kf, vf = _proj_qkv(packed, x, cfg, **kw)  # one weight pass
+        q = _split_heads(qf, cfg)  # (B,C,H,hd)
+        k = _split_heads(kf, cfg, cfg.kv_heads)
+        v = _split_heads(vf, cfg, cfg.kv_heads)
+        if cfg.rope:
+            chunk_pos = pos + jnp.arange(c)
+            q = apply_rope(q, chunk_pos, cfg.rope_theta)
+            k = apply_rope(k, chunk_pos, cfg.rope_theta)
+        cache = _cache_write(cache, k, v, pos)
+    from smmb_tpu.kernels.flash_decode import flash_chunk_rows_ok
+
+    code_buf = cache["kv"] if quant else cache["k"]
     if (
         use_flash
         and cache.get("valid") is None
         and cfg.head_dim % 128 == 0
+        # large chunks blow the kernel's (C·H, ·) VMEM scratch — fall back
+        # to the jnp chunk path rather than OOM (ADVICE r4)
+        and flash_chunk_rows_ok(
+            c, cfg.n_heads, cfg.head_dim, code_buf.shape[-1],
+            code_buf.dtype.itemsize,
+            jnp.dtype(compute_dtype).itemsize if compute_dtype else 4,
+        )
     ):
-        from smmb_tpu.kernels.flash_decode import flash_attention_chunk
+        if quant:
+            from smmb_tpu.kernels.flash_decode import (
+                flash_attention_chunk_quant,
+            )
 
-        quant = "k_scale" in cache
-        out = flash_attention_chunk(
-            q,
-            cache["k"],
-            cache["v"],
-            pos,
-            k_scale=cache["k_scale"] if quant else None,
-            v_scale=cache["v_scale"] if quant else None,
-            window=cfg.window,
-            precision=precision,
-            compute_dtype=compute_dtype,
-        ).reshape(b, c, -1)
+            out = flash_attention_chunk_quant(
+                q, cache["kv"], cache["kv_scale"], pos,
+                window=cfg.window, precision=precision,
+                compute_dtype=compute_dtype,
+            ).reshape(b, c, -1)
+        else:
+            from smmb_tpu.kernels.flash_decode import flash_attention_chunk
+
+            out = flash_attention_chunk(
+                q, cache["k"], cache["v"], pos,
+                window=cfg.window, precision=precision,
+                compute_dtype=compute_dtype,
+            ).reshape(b, c, -1)
     else:
         kc, vc = _cache_kv(cache, cfg.kv_heads)
         out = _chunk_attention_math(

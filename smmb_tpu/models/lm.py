@@ -274,6 +274,7 @@ def lm_extend(
     use_kernel: bool = True,
     precision=None,
     use_flash: bool = False,
+    pos_ids=None,
 ):
     """Append a (B, C) token chunk at the cache position and return the
     logits at EVERY chunk position: ((B, C, vocab), new cache).
@@ -285,6 +286,11 @@ def lm_extend(
     the flash decode step, making a token's logits bitwise identical
     between the two paths (speculative-decode exactness).
 
+    ``pos_ids`` (B, C) overrides the learned-positional-embedding indices
+    per row (batched speculative decoding: rejected drafts leave dead
+    interior cache slots, so a row's LOGICAL position trails its buffer
+    position).
+
     The caller owns the capacity budget (the cache position is dynamic, so
     it cannot be checked at trace time): appending past ``cfg.max_len``
     would clamp the cache write and silently corrupt earlier entries —
@@ -294,10 +300,13 @@ def lm_extend(
     if c > cfg.max_len:
         raise ValueError(f"chunk {c} exceeds max_len={cfg.max_len}")
     pos = cache[0]["pos"]
-    pe = jax.lax.dynamic_slice(
-        packed["pos"], (pos, 0), (c, packed["pos"].shape[1])
-    )
-    x = packed["embed"][tokens] + pe[None]
+    if pos_ids is None:
+        pe = jax.lax.dynamic_slice(
+            packed["pos"], (pos, 0), (c, packed["pos"].shape[1])
+        )[None]
+    else:
+        pe = packed["pos"][pos_ids]  # (B, C, D)
+    x = packed["embed"][tokens] + pe
     new_cache = []
     for blk, ch in zip(packed["blocks"], cache):
         x, ch = cfg._blk["extend"](
@@ -391,11 +400,13 @@ def fork_cache(cache: list, n: int) -> list:
     and cache bytes are paid once instead of ``n`` times. Rows are
     independent copies from the fork onward (each row's subsequent writes
     land in its own cache row)."""
-    if cache and cache[0]["k"].shape[0] != 1:
-        raise ValueError(
-            f"fork_cache takes a batch-1 cache, got batch "
-            f"{cache[0]['k'].shape[0]}"
-        )
+    if cache:
+        code_buf = cache[0]["kv" if "kv" in cache[0] else "k"]
+        if code_buf.shape[0] != 1:
+            raise ValueError(
+                f"fork_cache takes a batch-1 cache, got batch "
+                f"{code_buf.shape[0]}"
+            )
 
     def rep(name, a):
         if name == "pos":

@@ -27,10 +27,23 @@ round writes a full (k+1)-wide slab at the current count with
 ``dynamic_update_slice`` — garbage beyond the accepted prefix is
 overwritten by the next round (static shapes, no data-dependent sizes).
 
-Batch 1 only: acceptance length is per-sequence, and a shared cache
-position is the whole trick — per-row positions would force per-row
-gather/scatter on every cache touch. Speculative decoding is a batch-1
-latency optimization; throughput batching should just use ``generate``.
+Batch 1 serves with the scalar-position rewind above. Batch > 1 (round 5,
+VERDICT r4 #2) keeps every cache WRITE position-aligned across rows — the
+TPU answer to per-row acceptance — by letting rejected drafts become DEAD
+INTERIOR cache slots instead of rewinding:
+
+* every round both caches append the full (k+1)-token chunk at the shared
+  buffer position (one aligned dus, exactly like batch 1);
+* after acceptance, a (B, k+1) ``valid``-mask slab marks each row's
+  accepted prefix (t_last + n_acc drafts) and clears its dead tail — the
+  ragged-batch machinery (init_kv_cache(ragged=True)) already masks
+  invalid columns out of every attention read;
+* a row's LOGICAL position (for the learned positional embedding) trails
+  its buffer position, tracked per row and passed via ``pos_ids``.
+
+The cache buffer inflates by (k+1)/(mean n_acc+1) — dead slots cost cache
+reads but never correctness. RoPE is rejected at batch > 1 (buffer-position
+rope would distort relative offsets across dead slots).
 """
 
 from __future__ import annotations
@@ -151,10 +164,12 @@ def generate_speculative(
     use_flash=True.
     """
     b, t = prompt.shape
-    if b != 1:
-        raise ValueError(
-            f"speculative decode is batch-1 only (got batch {b}); the "
-            "acceptance length is per-sequence"
+    if b > 1:
+        return _generate_speculative_batched(
+            target, draft, prompt, target_cfg, draft_cfg, steps,
+            k=k, compute_dtype=compute_dtype, use_kernel=use_kernel,
+            precision=precision, use_flash=use_flash,
+            return_stats=return_stats,
         )
     if t + steps + k + 1 > min(target_cfg.max_len, draft_cfg.max_len):
         raise ValueError(
@@ -232,5 +247,144 @@ def generate_speculative(
         return out[:, :steps], {
             "rounds": rounds,
             "mean_accepted": (count - 1) / jnp.maximum(rounds, 1) - 1.0,
+        }
+    return out[:, :steps]
+
+
+def _clear_dead(cache: list, base, keep, k: int) -> list:
+    """Mark each row's accepted prefix of the round's (k+1)-token chunk
+    valid and its rejected tail dead: valid[:, base+j] = j < keep[r]."""
+    b = keep.shape[0]
+    mask = jnp.arange(k + 1)[None] < keep[:, None]  # (B, k+1)
+    return [
+        {
+            **c,
+            "valid": jax.lax.dynamic_update_slice(
+                c["valid"], mask, (0, base)
+            ),
+        }
+        for c in cache
+    ]
+
+
+def _generate_speculative_batched(
+    target: dict,
+    draft: dict,
+    prompt: jax.Array,
+    target_cfg: TernaryLMConfig,
+    draft_cfg: TernaryLMConfig,
+    steps: int,
+    *,
+    k: int,
+    compute_dtype,
+    use_kernel: bool,
+    precision,
+    use_flash: bool,
+    return_stats: bool,
+):
+    """Batched greedy speculative decoding via aligned writes + dead-slot
+    ``valid`` masks (module docstring). Per row, output is token-identical
+    to the target's own greedy continuation under the same attention path
+    (the ragged caches read through the jnp attention math)."""
+    b, t = prompt.shape
+    if target_cfg.rope or draft_cfg.rope:
+        raise ValueError(
+            "batched speculative decoding requires rope=False: dead "
+            "interior cache slots distort buffer-position rope offsets"
+        )
+    # worst case every round accepts only 1 token: steps-1 rounds of k+1
+    # buffer slots after the prompt (static shapes — checked at trace)
+    need = t + (steps - 1) * (k + 1) + 1
+    if need > min(target_cfg.max_len, draft_cfg.max_len):
+        raise ValueError(
+            f"batched spec decode can consume up to prompt {t} + "
+            f"(steps-1)·(k+1) = {need} buffer slots; max_len "
+            f"{min(target_cfg.max_len, draft_cfg.max_len)} is too small"
+        )
+    kw = dict(
+        compute_dtype=compute_dtype, use_kernel=use_kernel,
+        precision=precision,
+    )
+    tc = lm_init_cache(target_cfg, b, dtype=compute_dtype, ragged=True)
+    dc = lm_init_cache(draft_cfg, b, dtype=compute_dtype, ragged=True)
+    logits, tc = lm_prefill(
+        target, prompt, tc, target_cfg, use_flash=use_flash, **kw
+    )
+    _, dc = lm_prefill(draft, prompt, dc, draft_cfg, use_flash=use_flash, **kw)
+    tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,)
+
+    w = steps + k + 1
+    out = jnp.zeros((b, w), jnp.int32)
+    out = out.at[:, 0].set(tok0)
+    cols = jnp.arange(w)[None]  # (1, W)
+
+    def body(carry):
+        count, t_last, llen, tc, dc, out, rounds = carry
+        p_t, p_d = tc[0]["pos"], dc[0]["pos"]
+
+        # 1) draft proposes k tokens (+ the cache-sync step); logical
+        # position of step j's input token is llen + j per row
+        def dstep(c, j):
+            tok, cache = c
+            lg, cache = lm_decode_step(
+                draft, tok, cache, draft_cfg, pos_ids=llen + j,
+                use_flash=use_flash, **kw
+            )
+            nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            return (nxt, cache), nxt
+
+        (_, dc), ds = jax.lax.scan(
+            dstep, (t_last, dc), jnp.arange(k + 1)
+        )  # ds: (k+1, B)
+        drafts = ds[:k].T  # (B, k)
+
+        # 2) target verifies the whole chunk in one extend
+        vlogits, tc = lm_extend(
+            target,
+            jnp.concatenate([t_last[:, None], drafts], axis=1),
+            tc, target_cfg, use_flash=use_flash,
+            pos_ids=llen[:, None] + jnp.arange(k + 1)[None], **kw,
+        )
+        preds = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)  # (B, k+1)
+
+        # 3) per-row longest matching prefix + the target's own next token
+        match = (preds[:, :k] == drafts).astype(jnp.int32)
+        n_acc = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # (B,)
+        nxt = jnp.take_along_axis(preds, n_acc[:, None], axis=1)[:, 0]
+        idx = jnp.arange(k + 1)[None]
+        drafts_ext = jnp.concatenate(
+            [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1
+        )
+        slab = jnp.where(idx < n_acc[:, None], drafts_ext, nxt[:, None])
+
+        # per-row scatter of the (k+1) slab at each row's count
+        rel = cols - count[:, None]  # (B, W)
+        in_slab = jnp.logical_and(rel >= 0, rel < k + 1)
+        vals = jnp.take_along_axis(slab, jnp.clip(rel, 0, k), axis=1)
+        out = jnp.where(in_slab, vals, out)
+
+        # 4) instead of rewinding, mark each row's rejected tail DEAD in
+        # both caches (writes stayed aligned at p_t / p_d)
+        consumed = n_acc + 1
+        tc = _clear_dead(tc, p_t, consumed, k)
+        dc = _clear_dead(dc, p_d, consumed, k)
+        return (
+            count + consumed, nxt, llen + consumed, tc, dc, out, rounds + 1
+        )
+
+    def cond(carry):
+        return jnp.min(carry[0]) < steps
+
+    count0 = jnp.ones((b,), jnp.int32)
+    llen0 = jnp.full((b,), t, jnp.int32)
+    count, _, _, _, _, out, rounds = jax.lax.while_loop(
+        cond, body, (count0, tok0, llen0, tc, dc, out, jnp.int32(0))
+    )
+    if return_stats:
+        return out[:, :steps], {
+            "rounds": rounds,
+            "mean_accepted": jnp.mean(
+                (count - 1) / jnp.maximum(rounds, 1) - 1.0
+            ),
         }
     return out[:, :steps]

@@ -145,6 +145,22 @@ def init_block_cache(
     return init_kv_cache(cfg.attn, batch, max_len, dtype, quantized, ragged)
 
 
+def _fused_block_h(hdim: int, cap: int = 2048) -> int:
+    """Largest hidden-slab width ≤ ``cap`` that divides ``hdim`` and is a
+    multiple of GROUP_ROWS — the two constraints the fused kernels enforce
+    (kernels/fused_mlp.py). Returns 0 when no valid slab exists; the gates
+    below use that as "not fusable" so the slab the gate checked is exactly
+    the slab the call passes (a 3072/5120/7168 d_ff previously passed a
+    1024-divisibility gate and then crashed on a hardcoded 2048 slab)."""
+    from smmb_tpu.formats.packed import GROUP_ROWS
+
+    best = 0
+    for bh in range(GROUP_ROWS, min(cap, hdim) + 1, GROUP_ROWS):
+        if hdim % bh == 0:
+            best = bh
+    return best
+
+
 def _mlp_fusable(packed, h2d, compute_dtype, use_kernel):
     """Route the decode-regime MLP through the one-launch fused kernel?
 
@@ -169,8 +185,7 @@ def _mlp_fusable(packed, h2d, compute_dtype, use_kernel):
         in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
         and k % GROUP_ROWS == 0
         and k <= 2048
-        and hdim % GROUP_ROWS == 0
-        and hdim % (1024 if hdim >= 1024 else GROUP_ROWS) == 0
+        and _fused_block_h(hdim, 1024) > 0
         and packed["w_down"].shape == (hdim, k)
     )
 
@@ -200,8 +215,7 @@ def _tail_fusable(packed, m, compute_dtype, use_kernel):
         and a <= 2048
         and dm % GROUP_ROWS == 0
         and dm <= 2048
-        and hdim % GROUP_ROWS == 0
-        and hdim % (1024 if hdim >= 1024 else GROUP_ROWS) == 0
+        and _fused_block_h(hdim) > 0
         and packed["w_down"].shape == (hdim, dm)
     )
 
@@ -229,7 +243,7 @@ def _fused_tail(packed, out, x, cfg, compute_dtype):
         alpha=cfg.alpha,
         eps=cfg.eps,
         compute_dtype=compute_dtype,
-        block_h=2048 if hdim >= 2048 else hdim,
+        block_h=_fused_block_h(hdim),
     )
     return y.reshape(x.shape)
 
@@ -255,7 +269,7 @@ def _mlp_half(packed, x, cfg, spmm, compute_dtype=None, use_kernel=False):
                 packed["b_down"],
                 alpha=cfg.alpha,
                 compute_dtype=compute_dtype,
-                block_h=1024 if hdim >= 1024 else hdim,
+                block_h=_fused_block_h(hdim, 1024),
             ).reshape(x.shape)
             return x + down
         up = spmm(h, packed["w_up"], packed["s_up"], packed["b_up"], cfg.alpha)

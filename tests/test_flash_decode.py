@@ -78,6 +78,8 @@ def test_flash_decode_window(window):
 
 
 def test_flash_decode_int8_cache():
+    from smmb_tpu.kernels.flash_decode import flash_attention_decode_quant
+
     B, S, h, kvh, hd, pos = 1, 96, 4, 4, 128, 50
     key = jax.random.PRNGKey(11)
     cache = _filled_cache(key, B, S, kvh, hd, pos, quantized=True)
@@ -87,10 +89,8 @@ def test_flash_decode_int8_cache():
         _decode_attention_math(q, kc, vc, jnp.int32(pos), hd)
     )
     got = np.asarray(
-        flash_attention_decode(
-            q[:, 0], cache["k"], cache["v"], jnp.int32(pos),
-            k_scale=cache["k_scale"],
-            v_scale=cache["v_scale"],
+        flash_attention_decode_quant(
+            q[:, 0], cache["kv"], cache["kv_scale"], jnp.int32(pos),
             block_kv=32,
         )
     ).reshape(B, 1, -1)
@@ -208,10 +208,11 @@ def test_flash_chunk_int8_matches_oracle():
     want = np.asarray(
         _chunk_attention_math(q, kc, vc, jnp.int32(pos), hd)
     )
+    from smmb_tpu.kernels.flash_decode import flash_attention_chunk_quant
+
     got = np.asarray(
-        flash_attention_chunk(
-            q, cache["k"], cache["v"], jnp.int32(pos),
-            k_scale=cache["k_scale"], v_scale=cache["v_scale"], block_kv=32,
+        flash_attention_chunk_quant(
+            q, cache["kv"], cache["kv_scale"], jnp.int32(pos), block_kv=32,
         )
     ).reshape(B, C, -1)
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=0)
@@ -320,3 +321,26 @@ def test_flash_decode_batch_rows_independent():
             )
         )
         np.testing.assert_array_equal(batched[r], row[0])
+
+
+def test_flash_chunk_vmem_gate():
+    """Oversized chunks must be refused by the kernel (its (C·H, ·) VMEM
+    scratch cannot shrink with the cache tile) and routed to the jnp path
+    by the extend gate (ADVICE r4)."""
+    from smmb_tpu.kernels.flash_decode import (
+        flash_attention_chunk,
+        flash_chunk_rows_ok,
+    )
+
+    # serving-sized chunks fit; a C=2048 × H=32 chunk does not
+    assert flash_chunk_rows_ok(1, 8, 128, 1024, 2)
+    assert flash_chunk_rows_ok(64, 8, 128, 1024, 2)
+    assert not flash_chunk_rows_ok(2048, 32, 128, 4096, 2)
+
+    q = jax.ShapeDtypeStruct((1, 2048, 32, 128), jnp.float32)
+    kc = jax.ShapeDtypeStruct((1, 256, 32 * 128), jnp.float32)
+    with pytest.raises(ValueError, match="too large"):
+        jax.eval_shape(
+            lambda q, kc: flash_attention_chunk(q, kc, kc, jnp.int32(0)),
+            q, kc,
+        )

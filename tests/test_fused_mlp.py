@@ -215,6 +215,44 @@ def test_block_decode_fused_tail_vs_reference(key):
     )
 
 
+def test_block_decode_non_pow2_dff(key):
+    """d_ff=3072 (non-power-of-two, as in 4×d with d=768-class models): the
+    fused-tail gate and the slab the call passes must agree (ADVICE r4: a
+    1024-divisibility gate paired with a hardcoded 2048 slab crashed here).
+    Kernel path must run and match the unfused reference."""
+    from smmb_tpu.models.transformer import (
+        TernaryBlockConfig,
+        _fused_block_h,
+        block_decode_step,
+        init_block,
+        init_block_cache,
+        pack_block,
+    )
+
+    assert _fused_block_h(3072) == 1536
+    assert _fused_block_h(5120) == 1024
+    assert _fused_block_h(7168) == 1024
+    assert _fused_block_h(4096) == 2048
+    assert _fused_block_h(512) == 512
+    assert _fused_block_h(256) == 0
+    assert _fused_block_h(3072, 1024) == 1024
+
+    cfg = TernaryBlockConfig(d_model=1024, n_heads=8, d_ff=3072)
+    params = init_block(key, cfg)
+    packed = pack_block(params, quantize=True)
+    x_t = rng.rand_dense(jax.random.PRNGKey(11), (1, 1, cfg.d_model))
+    ya, _ = block_decode_step(
+        packed, x_t, init_block_cache(cfg, 1, 16), cfg,
+        compute_dtype=jnp.bfloat16, use_kernel=True,
+    )
+    yb, _ = block_decode_step(
+        packed, x_t, init_block_cache(cfg, 1, 16), cfg,
+        compute_dtype=jnp.float32, use_kernel=False,
+    )
+    scale = np.abs(np.asarray(yb)).max()
+    assert np.abs(np.asarray(ya, np.float64) - np.asarray(yb, np.float64)).max() < 0.05 * scale
+
+
 def test_mlp_fusable_gate():
     from smmb_tpu.formats.packed import pack_ternary
     from smmb_tpu.models.transformer import _mlp_fusable
@@ -260,4 +298,95 @@ def test_fused_norm_qkv_parity(key):
     ) + np.asarray(b, np.float64)
     np.testing.assert_allclose(
         np.asarray(y, np.float64), oracle, rtol=1e-5, atol=2e-4
+    )
+
+
+def test_fused_norm_qkv_quant_parity(key):
+    """fused_norm_qkv_quant == fused_norm_qkv + _quantize_kv interleave:
+    q matches exactly-ish (same dot), codes/scales match the post-hoc
+    quantize path (same absmax rule in f32)."""
+    from smmb_tpu.formats.packed import pack_ternary as pt
+    from smmb_tpu.kernels.fused_mlp import fused_norm_qkv, fused_norm_qkv_quant
+    from smmb_tpu.models.attention import _quantize_kv
+
+    m, d, kvh, hd = 3, 512, 2, 128
+    kvd = kvh * hd
+    n = d + 2 * kvd
+    ks = jax.random.split(key, 4)
+    x = rng.rand_dense(ks[0], (m, d))
+    g = 1.0 + 0.1 * rng.rand_dense(ks[1], (d,))
+    w = rng.rand_ternary(ks[2], (d, n), non_zero=2)
+    b = rng.rand_dense(ks[3], (n,))
+    sc = jnp.concatenate(
+        [jnp.full((d,), 0.7), jnp.full((kvd,), 1.1), jnp.full((kvd,), 0.9)]
+    ).astype(jnp.float32)
+    kw = dict(eps=1e-6, compute_dtype=jnp.float32)
+    wp = pt(np.asarray(w))
+    y = fused_norm_qkv(x, g, wp, sc, b, **kw)
+    q, codes, scales = fused_norm_qkv_quant(
+        x, g, wp, sc, b, d_model=d, kv_heads=kvh, head_dim=hd, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(q), np.asarray(y[:, :d]), atol=1e-5, rtol=1e-6
+    )
+    # oracle: quantize the float k/v halves with the jnp rule
+    kf = y[:, d : d + kvd].reshape(m, 1, kvh, hd)
+    vf = y[:, d + kvd :].reshape(m, 1, kvh, hd)
+    kq, ksc = _quantize_kv(kf)
+    vq, vsc = _quantize_kv(vf)
+    want_codes = np.asarray(
+        jnp.stack([kq[:, 0], vq[:, 0]], axis=2).reshape(m, 2 * kvd)
+    )
+    want_scales = np.asarray(
+        jnp.stack([ksc[:, 0, :, 0], vsc[:, 0, :, 0]], axis=2).reshape(
+            m, 2 * kvh
+        )
+    )
+    got_codes = np.asarray(codes, np.int32)
+    # codes may differ by 1 ulp of rounding where the dot paths round
+    # differently; scales must match to f32 noise
+    np.testing.assert_allclose(got_codes, want_codes.astype(np.int32), atol=1)
+    np.testing.assert_allclose(
+        np.asarray(scales), want_scales, rtol=1e-5, atol=1e-7
+    )
+
+
+def test_block_decode_quant_epilogue_routes(key):
+    """block_decode_step with an int8 cache routes through the epilogue-
+    quantizing kernel and matches the unfused jnp reference path (which
+    quantizes post-hoc) within int8-cache tolerance."""
+    from smmb_tpu.models.transformer import (
+        TernaryBlockConfig,
+        block_decode_step,
+        init_block,
+        init_block_cache,
+        pack_block,
+    )
+
+    cfg = TernaryBlockConfig(d_model=512, n_heads=4, d_ff=1024)
+    params = init_block(key, cfg)
+    packed = pack_block(params, quantize=True)
+    x_t = rng.rand_dense(jax.random.PRNGKey(21), (2, 1, cfg.d_model))
+    ca = init_block_cache(cfg, 2, 16, quantized=True)
+    cb = init_block_cache(cfg, 2, 16, quantized=True)
+    ya, ca = block_decode_step(
+        packed, x_t, ca, cfg, compute_dtype=jnp.float32, use_kernel=True,
+        use_flash=True,
+    )
+    yb, cb = block_decode_step(
+        packed, x_t, cb, cfg, compute_dtype=jnp.float32, use_kernel=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ya), np.asarray(yb), atol=5e-3, rtol=1e-3
+    )
+    # the caches written by the two paths hold (near-)identical codes
+    np.testing.assert_allclose(
+        np.asarray(ca["kv"], np.int32)[:, 0],
+        np.asarray(cb["kv"], np.int32)[:, 0],
+        atol=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ca["kv_scale"][:, :, 0]),
+        np.asarray(cb["kv_scale"][:, :, 0]),
+        rtol=1e-4, atol=1e-6,
     )

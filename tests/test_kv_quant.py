@@ -88,7 +88,7 @@ def test_quantized_extend_matches_decode_composition():
             packed, x[:, i:i + 1], c2, cfg, use_kernel=False, precision=HI
         )
         ys.append(y_t)
-    np.testing.assert_array_equal(np.asarray(c1["k"]), np.asarray(c2["k"]))
+    np.testing.assert_array_equal(np.asarray(c1["kv"]), np.asarray(c2["kv"]))
     np.testing.assert_allclose(
         np.asarray(y1), np.asarray(jnp.concatenate(ys, 1)),
         atol=1e-4, rtol=0,
@@ -111,7 +111,7 @@ def test_kv_quant_generate_runs_and_tracks_greedy():
 
     # the quantized cache really is int8 under the hood
     cache = lm_init_cache(cfg, 2, quantized=True)
-    assert cache[0]["k"].dtype == jnp.int8
+    assert cache[0]["kv"].dtype == jnp.int8
     _, cache = lm_prefill(packed, toks, cache, cfg, use_kernel=False)
-    assert cache[0]["k"].dtype == jnp.int8
+    assert cache[0]["kv"].dtype == jnp.int8
     assert int(cache[0]["pos"]) == 8

@@ -71,11 +71,6 @@ def test_spec_with_rope_and_gqa():
 
 def test_spec_rejects_batch_and_overflow():
     target, draft = _models(40)
-    with pytest.raises(ValueError, match="batch-1"):
-        generate_speculative(
-            target, draft, jnp.zeros((2, 4), jnp.int32), TARGET, DRAFT,
-            steps=4, use_kernel=False,
-        )
     with pytest.raises(ValueError, match="max_len"):
         generate_speculative(
             target, draft, jnp.zeros((1, 8), jnp.int32), TARGET, DRAFT,
@@ -136,4 +131,65 @@ def test_distill_rejects_vocab_mismatch():
     with pytest.raises(ValueError, match="vocab"):
         make_draft_distill_step(
             target, TARGET, dataclasses.replace(DRAFT, vocab=32)
+        )
+
+
+def test_generate_speculative_batched_matches_plain():
+    """Batch-8 spec decode: every row equals the target's own greedy
+    continuation of that row (the dead-slot valid-mask path; f32 HIGHEST
+    so ragged and dense attention agree exactly)."""
+    import jax.numpy as jnp
+
+    cfg = TernaryLMConfig(
+        vocab=64, d_model=128, n_heads=1, d_ff=128, n_layers=1, max_len=64,
+    )
+    target = pack_lm(init_lm(jax.random.PRNGKey(0), cfg))
+    draft = pack_lm(init_lm(jax.random.PRNGKey(1), cfg))
+    b, t, steps, k = 4, 8, 8, 3
+    toks = jax.random.randint(jax.random.PRNGKey(2), (b, t), 0, cfg.vocab)
+    got = np.asarray(
+        generate_speculative(
+            target, draft, toks, cfg, cfg, steps, k=k, use_kernel=False,
+        )
+    )
+    assert got.shape == (b, steps)
+    for r in range(b):
+        ref = np.asarray(
+            generate(
+                target, toks[r : r + 1], cfg, steps, use_kernel=False,
+            )
+        )
+        np.testing.assert_array_equal(got[r : r + 1], ref, err_msg=f"row {r}")
+
+
+def test_generate_speculative_batched_stats_and_guards():
+    import jax.numpy as jnp
+    import pytest
+
+    cfg = TernaryLMConfig(
+        vocab=32, d_model=128, n_heads=1, d_ff=128, n_layers=1, max_len=48,
+    )
+    rcfg = TernaryLMConfig(
+        vocab=32, d_model=128, n_heads=1, d_ff=128, n_layers=1, max_len=48,
+        rope=True,
+    )
+    target = pack_lm(init_lm(jax.random.PRNGKey(3), cfg))
+    draft = pack_lm(init_lm(jax.random.PRNGKey(4), cfg))
+    toks = jax.random.randint(jax.random.PRNGKey(5), (2, 4), 0, cfg.vocab)
+    out, stats = generate_speculative(
+        target, draft, toks, cfg, cfg, 6, k=2, use_kernel=False,
+        return_stats=True,
+    )
+    assert out.shape == (2, 6)
+    assert int(stats["rounds"]) >= 1
+    # rope rejected at batch > 1
+    rtarget = pack_lm(init_lm(jax.random.PRNGKey(6), rcfg))
+    with pytest.raises(ValueError, match="rope"):
+        generate_speculative(
+            rtarget, draft, toks, rcfg, cfg, 6, k=2, use_kernel=False
+        )
+    # buffer-budget guard
+    with pytest.raises(ValueError, match="buffer"):
+        generate_speculative(
+            target, draft, toks, cfg, cfg, 40, k=3, use_kernel=False
         )

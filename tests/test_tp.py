@@ -255,5 +255,39 @@ def test_generate_tp_kv_quant_runs():
     from smmb_tpu.parallel.tp_transformer import lm_init_cache_tp
 
     cache = lm_init_cache_tp(cfg, 2, mesh, quantized=True)
-    assert cache[0]["k"].dtype == jnp.int8
-    assert "k_scale" in cache[0]
+    assert cache[0]["kv"].dtype == jnp.int8
+    assert "kv_scale" in cache[0]
+
+
+def test_generate_tp_ragged_matches_per_row():
+    """generate_tp(prompt_mask=...) serves a left-padded ragged batch under
+    TP: each row equals its own unpadded single-device greedy continuation
+    (VERDICT r4 #2 — ragged batches through TP decode)."""
+    from smmb_tpu.models.lm import generate
+
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    packed = pack_lm(init_lm(jax.random.PRNGKey(61), LM_CFG))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(62))
+    p1 = jax.random.randint(k1, (1, 3), 0, LM_CFG.vocab)
+    p2 = jax.random.randint(k2, (1, 6), 0, LM_CFG.vocab)
+    t = 6
+    batch = jnp.concatenate(
+        [jnp.pad(p1, ((0, 0), (t - 3, 0))), p2]
+    )
+    mask = jnp.stack([
+        jnp.arange(t) >= (t - 3),
+        jnp.ones((t,), bool),
+    ])
+    refs = [
+        np.asarray(generate(packed, p, LM_CFG, 5, use_kernel=False))
+        for p in (p1, p2)
+    ]
+    sharded = shard_lm_tp(packed, mesh)
+    got = np.asarray(
+        generate_tp(
+            sharded, batch, LM_CFG, 5, mesh=mesh, use_kernel=False,
+            prompt_mask=mask,
+        )
+    )
+    for r, ref in enumerate(refs):
+        np.testing.assert_array_equal(got[r], ref[0], err_msg=f"row {r}")
