@@ -250,6 +250,161 @@ def _flash_kernel(
         ).astype(o_ref.dtype)
 
 
+def _flash_kernel_pipe(
+    i_ref,
+    s_ref,
+    sv_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    *rest,
+    ns: int,
+    scale: float,
+    causal: bool,
+    window: int | None,
+    block_q: int,
+    block_kv: int,
+    s_len: int,
+    precision,
+    diag_mask: bool,
+):
+    """Software-pipelined variant of the triangular causal kernel
+    (VERDICT r4 #8's K-tile double-buffered p-scratch): step p computes
+    tile s's probabilities into p_buf[p%2] (VPU: exp2/max) while the MXU
+    consumes p_buf[1-p%2] — the PREVIOUS tile's probabilities — against
+    that tile's V (the v index map trails the k index map by one step).
+    The two halves have no data dependence inside a step, giving Mosaic's
+    scheduler the chance to overlap MXU and VPU. Each q row gets one extra
+    FLUSH step (s=-1) that only drains the last pending p·V and writes the
+    output.
+
+    MEASURED AND REJECTED (round 5, v5e): 914.7 µs vs the serial kernel's
+    679.5 at T=4096 causal MHA bf16 (frac 0.38 vs 0.51); 3181.5 vs 2320.6
+    at T=8192 GQA — outputs bitwise identical, so the loss is pure
+    schedule: the (bq, bs) p round-trip through VMEM scratch costs more
+    than any MXU/VPU overlap recovers (Mosaic issues the halves in order;
+    no cross-step overlap materializes). Kept as the fifth documented
+    design point closing the flash-prefill plateau (docs/DESIGN.md
+    "Flash prefill occupancy bound")."""
+    if diag_mask:
+        dm_ref, o_ref, m_ref, l_ref, acc_ref, p_buf = rest
+    else:
+        o_ref, m_ref, l_ref, acc_ref, p_buf = rest
+    p = pl.program_id(1)
+    i = i_ref[p]
+    s = s_ref[p]
+    sv = sv_ref[p]
+    par = jax.lax.rem(p, 2)
+
+    comp = s >= 0  # this step computes a new p tile
+    acc_ok = sv >= 0  # a pending p·V from the previous step exists
+    row_first = jnp.logical_and(comp, jnp.logical_not(acc_ok))
+
+    @pl.when(row_first)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # (1) MXU: drain the pending p_{s-1} @ v_{s-1} (same m basis as acc —
+    # both were last rescaled at step p-1)
+    @pl.when(acc_ok)
+    def _():
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            p_buf[1 - par],
+            v_ref[0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    # (2) VPU: this tile's scores → p into the other scratch buffer
+    def compute(masked, use_dm=False):
+        q = q_ref[0] * jnp.asarray(scale * _LOG2E, q_ref.dtype)
+        scores = jax.lax.dot_general(
+            q,
+            k_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if use_dm:
+            scores = jnp.where(dm_ref[:] != 0, scores, _NEG)
+        elif masked:
+            col = s * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            live = col < s_len
+            row = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            live = jnp.logical_and(live, row >= col)
+            if window is not None:
+                live = jnp.logical_and(live, col > row - window)
+            scores = jnp.where(live, scores, _NEG)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        rescale = jnp.exp2(m_prev - m_new)
+        pt = jnp.exp2(scores - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            l_ref[:, :1] * rescale + jnp.sum(pt, axis=-1, keepdims=True),
+            l_ref.shape,
+        )
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        acc_ref[:] = acc_ref[:] * rescale
+        p_buf[par] = pt.astype(p_buf.dtype)
+
+    pad = ns * block_kv > s_len
+    full = i * block_q >= s * block_kv + block_kv - 1
+    if window is not None:
+        full = jnp.logical_and(
+            full, s * block_kv > i * block_q + block_q - 1 - window
+        )
+    if pad:
+        full = jnp.logical_and(full, (s + 1) * block_kv <= s_len)
+
+    if diag_mask:
+        is_diag = s * block_kv == i * block_q
+        if pad:
+            is_diag = jnp.logical_and(is_diag, (s + 1) * block_kv <= s_len)
+
+        @pl.when(jnp.logical_and(comp, jnp.logical_and(full, jnp.logical_not(is_diag))))
+        def _():
+            compute(False)
+
+        @pl.when(jnp.logical_and(comp, is_diag))
+        def _():
+            compute(True, use_dm=True)
+
+        @pl.when(
+            jnp.logical_and(
+                comp,
+                jnp.logical_and(
+                    jnp.logical_not(full), jnp.logical_not(is_diag)
+                ),
+            )
+        )
+        def _():
+            compute(True)
+    else:
+
+        @pl.when(jnp.logical_and(comp, full))
+        def _():
+            compute(False)
+
+        @pl.when(jnp.logical_and(comp, jnp.logical_not(full)))
+        def _():
+            compute(True)
+
+    # (3) flush step: pending dot drained above — normalize and emit
+    @pl.when(jnp.logical_not(comp))
+    def _():
+        l = l_ref[:, :1]
+        o_ref[0] = jnp.where(
+            l > 0, acc_ref[:] / jnp.where(l > 0, l, 1.0), 0.0
+        ).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -260,6 +415,7 @@ def _flash_kernel(
         "block_kv",
         "interpret",
         "precision",
+        "pipeline_p",
     ),
 )
 def flash_attention(
@@ -274,8 +430,13 @@ def flash_attention(
     block_kv: int | None = None,
     interpret: bool | None = None,
     precision=None,
+    pipeline_p: bool = False,
 ) -> jax.Array:
     """Scaled dot-product attention without materializing T×S scores.
+
+    ``pipeline_p`` (causal only): the double-buffered p-scratch variant —
+    step s's exp2 (VPU) overlaps step s-1's p·V (MXU); one extra flush
+    grid step per q row (see _flash_kernel_pipe).
 
     Args:
       q: (B, H, T, hd) queries. Head ``h`` attends KV head ``h // (H//KVH)``
@@ -300,6 +461,8 @@ def flash_attention(
         raise ValueError(f"H {h} % KVH {kvh} != 0")
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
+    if pipeline_p and not causal:
+        raise ValueError("pipeline_p is a causal (triangular-grid) variant")
     if window is not None and window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     g = h // kvh
@@ -398,6 +561,71 @@ def flash_attention(
             if window is None:
                 return 0
             return max(0, (i * bq - window + 1) // bs)
+
+        if pipeline_p:
+            # per row: the live tiles (sv trails s by one) + a flush step
+            pairs_i, pairs_s, pairs_sv = [], [], []
+            for i in range(nq):
+                prev = -1
+                for si in range(_lo(i), _diag(i) + 1):
+                    pairs_i.append(i)
+                    pairs_s.append(si)
+                    pairs_sv.append(prev)
+                    prev = si
+                pairs_i.append(i)
+                pairs_s.append(-1)  # flush: drain prev p·V, write o
+                pairs_sv.append(prev)
+            i_arr = jnp.asarray(pairs_i, jnp.int32)
+            s_arr = jnp.asarray(pairs_s, jnp.int32)
+            sv_arr = jnp.asarray(pairs_sv, jnp.int32)
+
+            def q_index(bh, p, i_ref, s_ref, sv_ref):
+                return (bh, i_ref[p], 0)
+
+            def k_index(bh, p, i_ref, s_ref, sv_ref):
+                return (bh // g, jnp.maximum(s_ref[p], 0), 0)
+
+            def v_index(bh, p, i_ref, s_ref, sv_ref):
+                return (bh // g, jnp.maximum(sv_ref[p], 0), 0)
+
+            in_specs = [
+                pl.BlockSpec((1, bq, hp), q_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bs, hp), k_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bs, hp), v_index, memory_space=pltpu.VMEM),
+            ] + (
+                [
+                    pl.BlockSpec(
+                        (bq, bs),
+                        lambda bh, p, i_ref, s_ref, sv_ref: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                ]
+                if diag_mask
+                else []
+            )
+            pipe_kw = dict(kernel_kw)
+            out = pl.pallas_call(
+                functools.partial(_flash_kernel_pipe, **pipe_kw),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(b * h, len(pairs_i)),
+                    in_specs=in_specs,
+                    out_specs=pl.BlockSpec(
+                        (1, bq, hp), q_index, memory_space=pltpu.VMEM
+                    ),
+                    scratch_shapes=scratch_shapes
+                    + [pltpu.VMEM((2, bq, bs), q.dtype)],
+                ),
+                out_shape=out_shape,
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "arbitrary"),
+                ),
+                cost_estimate=cost,
+                interpret=use_interpret(interpret),
+            )(i_arr, s_arr, sv_arr, qf, kf, vf, *dm_operand)
+            if (tp, hp) != (t, hd):
+                out = out[:, :t, :hd]
+            return out.reshape(b, h, t, hd)
 
         pairs_i, pairs_s = [], []
         for i in range(nq):

@@ -125,3 +125,24 @@ def test_block_and_lm_flash_paths():
     g0 = generate(packed, toks, cfg, steps=8)
     g1 = generate(packed, toks, cfg, steps=8, use_flash=True)
     assert jnp.array_equal(g0, g1)
+
+
+def test_flash_pipeline_p_matches_serial():
+    """The measured-and-rejected pipelined variant stays bitwise-parity
+    with the serial kernel (design point kept per DESIGN.md 'Flash
+    prefill occupancy bound'; causal + window)."""
+    import numpy as np
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    for win in (None, 64):
+        q = jax.random.normal(k1, (1, 2, 256, 128), jnp.float32)
+        k = jax.random.normal(k2, (1, 2, 256, 128), jnp.float32)
+        v = jax.random.normal(k3, (1, 2, 256, 128), jnp.float32)
+        ref = np.asarray(flash_attention(
+            q, k, v, causal=True, window=win, block_q=128, block_kv=128
+        ))
+        got = np.asarray(flash_attention(
+            q, k, v, causal=True, window=win, block_q=128, block_kv=128,
+            pipeline_p=True,
+        ))
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=1e-6)
