@@ -14,7 +14,9 @@ mkdir -p "$OUT"
 
 # reference sweep times 4 kernels (GEMM/sGEMM +- PReLU, SparseGEMM.cpp:149-156);
 # ours adds the serving modes + the 8x8-block BCSR compatibility row
-KERNELS='["dense","dense_prelu","packed_kernel","packed_kernel_prelu","packed_kernel_bf16","packed_kernel_w2a8","bcsr"]'
+# round 5 adds the format-native TCSC rows (padded-sentinel routing on
+# TPU — the former 100-iteration chip-fault cap is gone, VERDICT r4 #6)
+KERNELS='["dense","dense_prelu","packed_kernel","packed_kernel_prelu","packed_kernel_bf16","packed_kernel_w2a8","bcsr","tcsc_segsum","tcsc_segsum_prelu"]'
 
 if [[ "${1:-}" != "merge" ]]; then
   for nz in 2 8 16; do
@@ -28,7 +30,7 @@ if [[ "${1:-}" != "merge" ]]; then
       cat > "$cfg" <<EOF
 {"ms": [$m], "ks": [256, 512, 1024], "ns": [512, 1024, 2048],
  "non_zeros": [$nz], "kernels": $KERNELS,
- "iters": null, "reps": 5, "alpha": 0.2, "seed": 0,
+ "iters": null, "reps": 5, "alpha": 0.25, "seed": 0,
  "mesh_shapes": [[1, 1]], "validate": true}
 EOF
       echo "== sweep chunk nz=$nz m=$m ($(date -u +%H:%M:%S))"
@@ -69,6 +71,7 @@ for r in recs:
         except ValueError:
             r[k] = float("nan")
     r["valid"] = r["valid"] == "True"
+    r["dispatch_bound"] = r.get("dispatch_bound") == "True"
 plot_performance(recs, "bench_out/sweep.png")
 print("wrote bench_out/sweep.png")
 PY

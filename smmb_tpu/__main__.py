@@ -1,4 +1,4 @@
-"""CLI: ``python -m smmb_tpu {showcase,sweep,scaling,mlp,decode,lm,spec,headline}``.
+"""CLI: ``python -m smmb_tpu {showcase,sweep,capacity,scaling,mlp,decode,lm,spec,headline}``.
 
 The L5 automation surface (reference: ./benchmark.sh + parse-out2csv.sh +
 performance.py, SURVEY.md §3.5) as one entry point.
@@ -40,6 +40,10 @@ def main():
         from smmb_tpu.bench.scaling import main as scaling_main
 
         scaling_main(rest)
+    elif mode == "capacity":
+        from smmb_tpu.bench.capacity import main as capacity_main
+
+        sys.exit(capacity_main(rest))
     elif mode == "headline":
         import runpy
         import os

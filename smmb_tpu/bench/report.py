@@ -106,7 +106,10 @@ def plot_performance(
     groups: dict[str, list[tuple]] = {}
     any_floor = False
     for r in rows:
-        floor = bool(r.get("dispatch_bound", False))
+        floor = r.get("dispatch_bound", False)
+        if isinstance(floor, str):  # CSV round-trip: "True"/"False"
+            floor = floor == "True"
+        floor = bool(floor)
         any_floor = any_floor or floor
         groups.setdefault(str(r[group_key]), []).append(
             (str(r[x_key]), float(r[y_key]), floor)

@@ -506,6 +506,8 @@ def main(argv=None):
         validate=cfg.validate,
         kernel_filter=kf,
     )
+    if cfg.alpha is not None:  # None = driver default (0.2 / 0.25 legacy)
+        kw["alpha"] = cfg.alpha
     if args.mode == "showcase":
         cases = (
             [tuple(int(v) for v in c.split("x")) for c in args.cases.split(";")]

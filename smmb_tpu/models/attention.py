@@ -24,8 +24,11 @@ from smmb_tpu.ops.spmm import packed_spmm_jnp
 from smmb_tpu.utils import rng
 
 # Flash-decode batch gate (measured, scripts/probe_batch_decode.py r4):
-# batch 1 always takes the kernel, as does any quantized cache (the jnp
-# int8 path re-materializes a dequantized cache every step). For larger
+# batch 1 always takes the kernel, as does any quantized cache at ANY
+# batch — the jnp int8 path re-materializes a dequantized cache every
+# step, measured 11-15x slower at b=8 ctx8k (616 vs 6792 us MHA, 84.8 vs
+# 1272 GQA/2) with the kernel scaling ~linearly through b=32
+# (scripts/probe_quant_batch.py r5, closing ADVICE r4 low #3). For larger
 # batches the kernel wins when the cache is big — its O(pos) streaming and
 # per-batch grid amortize over real DMA work (b8 MHA ctx1000: kernel 292.2
 # vs jnp 349.3 us/step) — but loses in the small-cache regime where XLA's

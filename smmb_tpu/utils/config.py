@@ -27,7 +27,9 @@ class BenchConfig:
     # iters=None auto-calibrates the device-loop length (measure_device)
     iters: int | None = None
     reps: int = 5
-    alpha: float = 0.2  # main.cpp:268
+    # PReLU slope; None = driver default (showcase 0.2 /root/reference/
+    # main.cpp:268, sweep 0.25 SparseGEMM.cpp:81)
+    alpha: float | None = None
     seed: int = 0
     # mesh shapes for scaling runs: tuples of (data, model)
     mesh_shapes: tuple = ((1, 1), (1, 2), (1, 4), (1, 8))
